@@ -1,0 +1,147 @@
+package graft.catalog
+
+import graft.model._
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/**
+ * Catalog of named graphs = one partitioned triple table keyed by
+ * `graph_iri`, plus an atomic snapshot log — the Spark mapping of the
+ * reference's SOP/EDG named-graph surface (SURVEY S6:
+ * /root/reference/rdfx/persistence_systems.py:453-784 — read/write by graph
+ * IRI, COUNT, ASK, SELECT-LIMIT).
+ *
+ * Table-format abstraction (SURVEY §7 "No Iceberg jar in sandbox"): the
+ * public API is snapshot-id-based commits with exactly-once semantics; this
+ * [[ParquetSnapshotCatalog]] implementation backs it with partitioned
+ * Parquet + a JSON snapshot manifest committed by atomic rename. On a
+ * cluster with an Iceberg runtime, an `IcebergCatalog` implements the same
+ * trait via `DataFrameWriterV2.writeTo(...).partitionedBy(...)` — config,
+ * not code, changes.
+ *
+ * Scale notes:
+ *  - `graph_iri` is the physical partition column → reads of one graph are
+ *    partition-pruned scans (no full-table IO), the direct analogue of the
+ *    SOP server resolving a graph URN.
+ *  - `ask` uses LIMIT 1 (LocalLimit short-circuit), never a full count.
+ *  - snapshot commit = write to `.tmp-<id>` dir + atomic manifest rename;
+ *    a resumed job sees either the old or the new snapshot, never half.
+ */
+trait GraphCatalog {
+  def write(graphIri: String, triples: DataFrame, overwrite: Boolean = true,
+            leadingComments: Seq[String] = Nil): Long
+  def read(graphIri: String): (Seq[String], DataFrame)
+  def exists(graphIri: String): Boolean
+  def ask(graphIri: String): Boolean
+  def count(graphIri: String): Long
+  def selectLimit(graphIri: String, n: Int): DataFrame
+  def graphs(): Seq[String]
+}
+
+final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends GraphCatalog {
+  private val rootPath = Paths.get(root)
+  private val dataDir = rootPath.resolve("data")
+  private val snapDir = rootPath.resolve("_snapshots")
+  Files.createDirectories(dataDir)
+  Files.createDirectories(snapDir)
+
+  private def enc(iri: String): String =
+    java.net.URLEncoder.encode(iri, "UTF-8")
+
+  private def graphDataDir(iri: String): Path = dataDir.resolve(enc(iri))
+
+  /** Latest committed snapshot manifest for a graph, if any. */
+  private def latestSnapshot(iri: String): Option[Path] = {
+    val prefix = enc(iri) + "."
+    val files =
+      if (!Files.isDirectory(snapDir)) Vector.empty
+      else {
+        val s = Files.list(snapDir)
+        try s.iterator().asScala.toVector.filter(_.getFileName.toString.startsWith(prefix))
+        finally s.close()
+      }
+    files.sortBy(_.getFileName.toString).lastOption
+  }
+
+  private def parseManifest(p: Path): Map[String, String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(Files.readAllBytes(p))
+    node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+
+  /**
+   * Commit: write parquet to a versioned dir, then atomically publish the
+   * manifest. Returns the snapshot id. Exactly-once: if the job dies before
+   * the rename, the partial dir is invisible (no manifest names it) and a
+   * rerun re-commits the next id.
+   */
+  def write(graphIri: String, triples: DataFrame, overwrite: Boolean = true,
+            leadingComments: Seq[String] = Nil): Long = {
+    val prevId = latestSnapshot(graphIri).map(m => parseManifest(m)("snapshot_id").toLong).getOrElse(0L)
+    val id = prevId + 1
+    val target = graphDataDir(graphIri).resolve(s"v$id")
+    val toWrite =
+      if (overwrite || prevId == 0) triples
+      else {
+        // append = set-union with the previous snapshot (reference merge-into-datagraph semantics)
+        val (_, prev) = read(graphIri)
+        prev.unionByName(triples).dropDuplicates("s", "s_kind", "p", "o", "o_kind", "o_dtype", "o_lang")
+      }
+    toWrite.write.mode(SaveMode.Overwrite).parquet(target.toString)
+    val manifest =
+      s"""{"graph_iri": ${jstr(graphIri)}, "snapshot_id": "$id", "path": ${jstr(target.toString)},
+         | "leading_comments": ${jarr(leadingComments)}}""".stripMargin
+    val tmp = snapDir.resolve(s".tmp-${enc(graphIri)}.$id")
+    Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, snapDir.resolve(f"${enc(graphIri)}.$id%09d.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    id
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private def jarr(xs: Seq[String]): String = xs.map(jstr).mkString("[", ",", "]")
+
+  def read(graphIri: String): (Seq[String], DataFrame) = {
+    val manifest = latestSnapshot(graphIri).getOrElse(
+      throw new IllegalArgumentException(s"No such graph: $graphIri"))
+    val m = parseManifest(manifest)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val comments = {
+      val node = mapper.readTree(Files.readAllBytes(manifest))
+      if (node.has("leading_comments"))
+        node.get("leading_comments").elements().asScala.map(_.asText()).toSeq
+      else Nil
+    }
+    (comments, spark.read.parquet(m("path")))
+  }
+
+  def exists(graphIri: String): Boolean = latestSnapshot(graphIri).isDefined
+
+  /** COUNT(*) over the named graph — partial+final count agg (SURVEY O9). */
+  def count(graphIri: String): Long = read(graphIri)._2.count()
+
+  /** ASK — LIMIT-1 short-circuit, not a scan (SURVEY O10). */
+  def ask(graphIri: String): Boolean =
+    exists(graphIri) && !read(graphIri)._2.isEmpty
+
+  /** SELECT * {?s ?p ?o} LIMIT n (SURVEY O11). */
+  def selectLimit(graphIri: String, n: Int): DataFrame =
+    read(graphIri)._2.select("s", "p", "o").limit(n)
+
+  def graphs(): Seq[String] = {
+    val files =
+      if (!Files.isDirectory(snapDir)) Vector.empty
+      else {
+        val s = Files.list(snapDir)
+        try s.iterator().asScala.toVector finally s.close()
+      }
+    files.map(_.getFileName.toString)
+      .filter(_.endsWith(".json"))
+      .map(n => java.net.URLDecoder.decode(n.substring(0, n.lastIndexOf('.', n.length - 6)), "UTF-8"))
+      .distinct.sorted
+  }
+}

@@ -1,0 +1,151 @@
+package graft.rdf
+
+import graft.model._
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed RDF graph operations over `Dataset[TripleRow]`.
+ *
+ * Scale design (SURVEY §2.1 O1/O4/O6):
+ *  - N-Triples is line-splittable → `spark.read.text` parallelizes the scan
+ *    across the cluster; each line parses independently inside
+ *    `mapPartitions` (no shuffle, no driver involvement).
+ *  - Turtle/JSON-LD/RDF-XML are whole-document grammars → `binaryFile`
+ *    source, one document per task, parsed by the driver-side codecs reused
+ *    inside executors; blank-node labels are salted per source file to
+ *    reproduce rdflib's fresh-bnode-ids-per-parse merge behavior.
+ *  - NT serialization is a pure codegen'd projection (chained `replace` for
+ *    ECHAR escaping — stays inside whole-stage codegen; no UDF).
+ *  - merge = UNION ALL + `dropDuplicates` on the six term columns — a single
+ *    hash-aggregate shuffle, the reference's set-union semantics at cluster
+ *    scale.
+ */
+object DistributedRdf {
+
+  // ------------------------------------------------------------------- reads
+
+  /** Distributed N-Triples scan: splittable text source, per-line parse. */
+  def readNt(spark: SparkSession, path: String): Dataset[TripleRow] = {
+    import spark.implicits._
+    spark.read.textFile(path).mapPartitions { lines =>
+      lines.flatMap(l => NtCodec.parseLine(l).map(TripleRow.fromTriple))
+    }
+  }
+
+  /**
+   * Distributed read of whole-document formats: one file per row via the
+   * binaryFile source, parsed per-partition. `pathGlob` may use glob stars.
+   */
+  def readDocs(spark: SparkSession, pathGlob: String, format: RdfFormat): Dataset[TripleRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select($"path", $"content")
+      .as[(String, Array[Byte])]
+      .mapPartitions { files =>
+        files.flatMap { case (path, bytes) =>
+          val doc = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          val salt = Integer.toHexString(path.hashCode)
+          RdfIo.parse(doc, format).triples.iterator.map { t =>
+            TripleRow.fromTriple(saltBnodes(t, salt))
+          }
+        }
+      }
+  }
+
+  private def saltBnodes(t: Triple, salt: String): Triple = {
+    def f(x: RdfTerm) = if (x.isBNode) x.copy(value = s"${salt}_${x.value}") else x
+    Triple(f(t.s), t.p, f(t.o))
+  }
+
+  // ------------------------------------------------------------------- merge
+
+  /**
+   * n-ary distributed merge: UNION ALL then set-dedup on the term columns
+   * only (provenance-free set semantics, SURVEY §1.1). One shuffle.
+   */
+  def merge(graphs: Seq[Dataset[TripleRow]]): Dataset[TripleRow] = {
+    require(graphs.nonEmpty, "merge requires at least one graph")
+    graphs.reduce(_ unionAll _)
+      .dropDuplicates("s", "s_kind", "p", "o", "o_kind", "o_dtype", "o_lang")
+  }
+
+  // --------------------------------------------------------------- serialize
+
+  /** Codegen'd N-Triples ECHAR escaping for a string column (no UDF). */
+  def ntEscape(c: Column): Column = {
+    // order matters: backslash first
+    val esc = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, "\\\\", "\\\\\\\\"),
+          "\"", "\\\\\""),
+        "\n", "\\\\n"),
+      "\r", "\\\\r")
+    regexp_replace(esc, "\t", "\\\\t")
+  }
+
+  /** Render one term (value/kind/dtype/lang columns) as its NT token. */
+  def ntTerm(value: Column, kind: Column, dtype: Column, lang: Column): Column =
+    when(kind === TermKind.Iri, concat(lit("<"), value, lit(">")))
+      .when(kind === TermKind.BNode, concat(lit("_:"), value))
+      .otherwise(
+        concat(lit("\""), ntEscape(value), lit("\""),
+          when(lang.isNotNull, concat(lit("@"), lang))
+            .when(dtype.isNotNull, concat(lit("^^<"), dtype, lit(">")))
+            .otherwise(lit(""))))
+
+  /** Project a triple Dataset to its NT lines — pure whole-stage-codegen. */
+  def ntLines(triples: DataFrame): DataFrame = {
+    val df = triples
+    df.select(
+      concat(
+        ntTerm(col("s"), col("s_kind"), lit(null), lit(null)), lit(" "),
+        concat(lit("<"), col("p"), lit(">")), lit(" "),
+        ntTerm(col("o"), col("o_kind"), col("o_dtype"), col("o_lang")),
+        lit(" .")).as("line"))
+  }
+
+  /** Write a triple Dataset as N-Triples text files (one shard per partition). */
+  def writeNt(triples: DataFrame, path: String): Unit =
+    ntLines(triples).write.mode("overwrite").text(path)
+
+  /**
+   * Serialize a (small enough to render as one document) graph to a
+   * single-doc format. Deterministic: sorts, collects to the driver, applies
+   * the byte-compatible codec. Guarded by `maxTriples` — single-document
+   * Turtle/JSON-LD/XML output is inherently a single-writer operation; at
+   * 100 TB you shard by named graph and emit NT for bulk interchange
+   * (`writeNt`), which is the documented scale path.
+   */
+  def serializeDoc(triples: Dataset[TripleRow], format: RdfFormat,
+                   prefixes: Map[String, String] = Map.empty,
+                   maxTriples: Int = 5000000): String = {
+    val rows = triples
+      .orderBy("s_kind", "s", "p", "o_kind", "o", "o_dtype", "o_lang")
+      .limit(maxTriples + 1).collect()
+    require(rows.length <= maxTriples,
+      s"graph exceeds $maxTriples triples; use writeNt for bulk serialization")
+    RdfIo.serialize(ParsedGraph(rows.map(_.asTriple).toVector, prefixes), format)
+  }
+
+  // ----------------------------------------------------------- clean support
+
+  /**
+   * Used-namespace detection for `clean` at scale (SURVEY O7): explode the
+   * three term columns, broadcast-join the (small) prefix table on a
+   * substring predicate, distinct. Returns used (prefix, ns) pairs.
+   */
+  def usedNamespaces(spark: SparkSession, triples: DataFrame,
+                     prefixes: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    val nsDf = prefixes.toSeq.toDF("prefix", "ns")
+    val terms = triples.select(explode(array(
+      when(col("s_kind") =!= TermKind.Literal, col("s")),
+      col("p"),
+      when(col("o_kind") =!= TermKind.Literal, col("o")).otherwise(col("o_dtype"))
+    )).as("term")).where(col("term").isNotNull).distinct()
+    terms.join(broadcast(nsDf), col("term").contains(col("ns")))
+      .select("prefix", "ns").distinct()
+  }
+}

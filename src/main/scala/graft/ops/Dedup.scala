@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication suite for training-data pipelines, over the
+ * `documents` table (doc_id, text, lang, source, n_chars).
+ *
+ * All hash material derives from md5 of token strings — deterministic,
+ * engine-portable (the DuckDB oracle computes the identical signatures), and
+ * codegen'd end-to-end (functions only, no UDFs).
+ *
+ * Scale design:
+ *  - exact dedup: single hash-aggregate shuffle on the content hash;
+ *  - MinHash: ONE explode + ONE groupBy with k min-aggregates (no k-way
+ *    cross join) — map-side partial aggregation absorbs the token fan-out,
+ *    so the shuffle carries one row per (doc, k-wide signature);
+ *  - LSH banding: signatures → band keys → self-join per band bucket; the
+ *    join key is the band hash, so co-candidates co-locate and the
+ *    quadratic blow-up is bounded per bucket (classic MinHash-LSH);
+ *  - SimHash: same one-pass aggregate shape with per-bit majority votes;
+ *  - n-gram Jaccard: shingle explode + semi-joins restricted to LSH
+ *    candidate pairs — never all-pairs.
+ */
+object Dedup {
+
+  private def tokens(text: Column): Column = split(text, " ")
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on content hash: one representative (min doc_id) per group. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_docs"))
+
+  // -------------------------------------------------------------- minhash
+
+  val MinhashK = 16
+
+  /** Per-seed token hash: md5("<seed>:<token>") — string min is the sketch. */
+  private def seedHash(seed: Int, token: Column): Column =
+    md5(concat(lit(s"$seed:"), token))
+
+  /**
+   * k=16 MinHash signature per document, computed in ONE explode + ONE
+   * aggregate (k min() columns), not k passes.
+   */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val exploded = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val aggs = (0 until MinhashK).map(i => min(seedHash(i, col("tok"))).as(s"sig_$i"))
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  val LshBands = 4
+  val LshRows = 4 // MinhashK / LshBands
+
+  /** Band key: md5 over the band's concatenated signature rows. */
+  private def bandKey(b: Int): Column =
+    md5(concat_ws("|", (0 until LshRows).map(r => col(s"sig_${b * LshRows + r}")): _*))
+
+  /**
+   * MinHash-LSH candidate pairs: documents sharing at least one band bucket.
+   * Returns distinct (doc_a, doc_b), doc_a < doc_b.
+   */
+  def lshCandidatePairs(signatures: DataFrame): DataFrame = {
+    val banded = signatures.select(
+      col("doc_id"),
+      posexplode(array((0 until LshBands).map(bandKey): _*)).as(Seq("band", "key")))
+    val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  val SimhashBits = 16
+
+  /**
+   * 16-bit SimHash over token md5 nibbles: bit b = majority vote of
+   * (nibble_b >= 8) across all token occurrences. Output: bit string column
+   * `simhash` (e.g. "0110...") — portable across engines, no 64-bit
+   * arithmetic needed (the production-scale variant on xxhash64 lives in
+   * TextFunctions.simhash64 and is property-tested in Scala).
+   */
+  def simhash(docs: DataFrame): DataFrame = {
+    val exploded = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+    val votes = (0 until SimhashBits).map { b =>
+      sum(when(substring(col("h"), b + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"v_$b")
+    }
+    exploded.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until SimhashBits).map(b =>
+          when(col(s"v_$b") > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+
+  // ------------------------------------------------------- n-gram jaccard
+
+  /** Distinct word-bigram shingles per doc. */
+  def bigramShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("i", "w")))
+      .withColumn("next", lead("w", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")))
+      .where(col("next").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("next")).as("shingle"))
+      .distinct()
+
+  /**
+   * Bigram-Jaccard similarity for candidate pairs (from LSH): intersection
+   * via shingle join, |A| and |B| via per-doc counts. Score rounded to 6 dp.
+   */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val sh = bigramShingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Cosine similarity between two float-array columns (codegen'd HOFs). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs, blocked by `label` (the
+   * coarse-bucket stand-in; at scale the blocker is the ANN index in
+   * graft.ops.Ann). Emits pairs with cosine >= threshold, rounded to 6 dp.
+   */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val a = embeddings.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = embeddings.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, "label")
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(cosine(
+        col("ea").cast("array<double>"), col("eb").cast("array<double>")), 6))
+      .where(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+}

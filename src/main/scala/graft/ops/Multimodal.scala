@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One multimodal asset: opaque binary payload + typed metadata. */
+final case class MediaAsset(
+    doc_id: Long,
+    media_type: String, // image | audio | video
+    payload: Array[Byte],
+    width: Int,
+    height: Int,
+    sample_rate: Int)
+
+/** Extracted (fake-decoded) features for one asset. */
+final case class MediaFeatures(
+    doc_id: Long,
+    media_type: String,
+    n_bytes: Long,
+    byte_sum: Long,
+    feature: Array[Float])
+
+/**
+ * Multimodal-column plumbing: images/audio/video as opaque `binary` columns
+ * with typed metadata, decoded/feature-extracted per-partition.
+ *
+ * The Spark-side machinery is REAL and load-bearing at scale: binary
+ * payloads ride parquet byte arrays, the decode stage is a typed
+ * `mapPartitions` that amortizes (stubbed) codec initialization per
+ * partition and streams batches — exactly the shape a JNI/FFI image codec
+ * or an `mapInPandas` Python decoder plugs into.
+ *
+ * The DECODE ITSELF IS A STUB: no image/audio libraries exist in this
+ * container, so [[decodeStub]] derives deterministic fake features from the
+ * payload bytes (documented; swap for a real codec by replacing one
+ * function). Payloads are synthesized deterministically from document
+ * content (md5 bytes), so every stage is reproducible and oracle-checkable
+ * down to byte length.
+ */
+object Multimodal {
+
+  /** Deterministic fake media corpus derived from `documents`. */
+  def synthesizeAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      unhex(md5(col("text"))).as("payload"),
+      (col("doc_id") % 64 + 1).cast("int").as("width"),
+      (col("doc_id") % 48 + 1).cast("int").as("height"),
+      lit(16000).as("sample_rate")).as[MediaAsset]
+  }
+
+  /**
+   * STUB decoder — stands in for the real image/audio decode (???) which
+   * needs codec libraries absent from this container. Deterministic:
+   * features are byte statistics of the payload. Signature and batching are
+   * the real contract.
+   */
+  private def decodeStub(asset: MediaAsset): MediaFeatures = {
+    val bytes = asset.payload
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+    // fake 4-dim feature: normalized byte stats (a real decoder emits e.g. CLIP embeddings)
+    val f = Array(
+      bytes.length.toFloat,
+      sum.toFloat / math.max(bytes.length, 1),
+      (bytes.headOption.map(_ & 0xff).getOrElse(0)).toFloat,
+      (bytes.lastOption.map(_ & 0xff).getOrElse(0)).toFloat)
+    MediaFeatures(asset.doc_id, asset.media_type, bytes.length.toLong, sum, f)
+  }
+
+  /**
+   * Feature extraction over the binary column: per-partition batched decode.
+   * One "codec" init per partition (stubbed as a no-op), then streaming map.
+   */
+  def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // real impl: val codec = HeavyCodec.open() — amortized per partition
+      it.map(decodeStub)
+    }
+  }
+
+  /** Metadata projection (oracle-checkable: byte length from md5 payload). */
+  def assetMetadata(assets: Dataset[MediaAsset]): DataFrame =
+    assets.toDF().select(
+      col("doc_id"), col("media_type"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      col("width").cast("long").as("width"),
+      col("height").cast("long").as("height"))
+}

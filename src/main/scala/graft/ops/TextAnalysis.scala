@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data curation, over the `documents`
+ * table. Every op is a pure codegen'd projection/aggregate (functions only)
+ * with a formula shared verbatim with the DuckDB oracle.
+ */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a")
+
+  /**
+   * Token counting: whitespace tokens + a BPE-ish regex segmentation
+   * (letter runs | digit runs | single non-alphanumeric-non-space).
+   */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("bpe_tokens"))
+
+  /**
+   * Quality scoring: length stats, stopword ratio, letter ratio, and a
+   * composite [0,1] quality score — the usual cheap pre-filter features of
+   * a corpus-cleaning pipeline.
+   */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val stopHits = size(filter(toks, t => t.isin(stopwords: _*))).cast("double")
+    val letters = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
+    val chars = length(col("text")).cast("double")
+    docs.select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      round(chars / nTok, 6).as("avg_token_span"),
+      round(stopHits / nTok, 6).as("stopword_ratio"),
+      round(letters / chars, 6).as("letter_ratio"),
+      // composite: long-enough docs with few stopwords and high letter mass
+      round(least(nTok / lit(64.0), lit(1.0)) * (lit(1.0) - stopHits / nTok) * (letters / chars), 6)
+        .as("quality"))
+  }
+
+  /**
+   * Heuristic language ID from character statistics (n-gram-frequency
+   * heuristic): vowel ratio and stopword presence vote between en/es/de/fr
+   * buckets; `zh` when non-ASCII mass dominates. On the synthetic corpus
+   * the interest is determinism + engine parity, not linguistic accuracy.
+   */
+  def langId(docs: DataFrame): DataFrame = {
+    val chars = length(col("text")).cast("double")
+    val vowels = length(regexp_replace(col("text"), "[^aeiou]", "")).cast("double")
+    val nonAscii = length(regexp_replace(col("text"), "[ -~]", "")).cast("double")
+    val theHits = (length(col("text")) - length(regexp_replace(col("text"), "the", ""))).cast("double") / 3.0
+    docs.select(
+      col("doc_id"),
+      round(vowels / chars, 6).as("vowel_ratio"),
+      round(nonAscii / chars, 6).as("non_ascii_ratio"),
+      theHits.cast("long").as("the_hits"),
+      when(nonAscii / chars > 0.3, "zh")
+        .when(theHits >= 3, "en")
+        .when(vowels / chars > 0.34, "es")
+        .when(vowels / chars > 0.30, "fr")
+        .otherwise("de").as("predicted_lang"))
+  }
+
+  /**
+   * Document fingerprint: md5 over the normalized text (lowercase,
+   * non-alphanumeric runs collapsed to single spaces, trimmed) — the
+   * canonical near-identity key for fuzzy-exact dedup.
+   */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fingerprint"))
+}

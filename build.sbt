@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // G1 treats Tungsten's default 64MB task pages as humongous allocations;
+  // with 32 concurrent tasks that degenerates into a GC death spiral
+  // (observed: 231s GC / 339s cpu / 2700s blocked in one join stage).
+  // ParallelGC + a bounded Tungsten page size keeps allocation regular.
+  "-XX:+UseParallelGC",
+  "-Dspark.buffer.pageSize=4m",
 )

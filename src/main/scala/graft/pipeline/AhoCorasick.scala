@@ -10,24 +10,33 @@ import scala.collection.mutable.ArrayBuffer
  * the cost model that makes trie matching beat per-row regex at 10^12-turn
  * scale: O(text + matches) per turn regardless of gazetteer size.
  *
- * Serializable so it can ride a Broadcast; the goto/fail automaton is built
- * lazily on first use on each executor (the broadcast ships only patterns).
+ * The matching automaton is compiled to a dense DFA (char-indexed int
+ * arrays, failure links resolved at build time), so the per-character inner
+ * loop is two array reads — no hashing, no boxing, no allocation. Characters
+ * outside the ASCII alphabet reset to the root state, which is exact as long
+ * as patterns are ASCII (enforced at construction).
+ *
+ * Serializable so it can ride a Broadcast; the DFA is built lazily on first
+ * use on each executor (the broadcast ships only the pattern strings).
  */
 final class AhoCorasick(patterns: Array[String]) extends Serializable {
-
-  @transient private lazy val automaton: Automaton = build()
+  require(patterns.forall(_.forall(_ < 128)), "AhoCorasick patterns must be ASCII")
 
   final case class Match(patternIdx: Int, start: Int)
 
-  private final class Automaton(
-      val next: Array[mutable.HashMap[Char, Int]],
-      val fail: Array[Int],
-      val out: Array[List[Int]])
+  def numPatterns: Int = patterns.length
 
-  private def build(): Automaton = {
+  private val Alpha = 128
+
+  /** goto(state*128+c) = next state; out(state) = pattern indices ending here. */
+  private final class Dfa(val goto: Array[Int], val out: Array[Array[Int]])
+
+  @transient private lazy val dfa: Dfa = build()
+
+  private def build(): Dfa = {
+    // trie construction
     val next = ArrayBuffer(mutable.HashMap.empty[Char, Int])
     val out = ArrayBuffer[List[Int]](Nil)
-    // goto trie
     patterns.zipWithIndex.foreach { case (p, idx) =>
       var state = 0
       p.foreach { c =>
@@ -39,8 +48,9 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
       }
       out(state) = idx :: out(state)
     }
-    // BFS failure links
-    val fail = Array.fill(next.size)(0)
+    val n = next.size
+    // BFS failure links + output merge
+    val fail = Array.fill(n)(0)
     val queue = mutable.Queue.empty[Int]
     next(0).values.foreach(queue += _)
     while (queue.nonEmpty) {
@@ -53,24 +63,75 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
         out(t) = out(t) ++ out(fail(t))
       }
     }
-    new Automaton(next.toArray, fail, out.toArray)
+    // resolve to dense DFA: goto includes failure transitions
+    val goto = new Array[Int](n * Alpha)
+    val bfs = mutable.Queue(0)
+    val seen = new Array[Boolean](n)
+    seen(0) = true
+    while (bfs.nonEmpty) {
+      val s = bfs.dequeue()
+      var c = 0
+      while (c < Alpha) {
+        val ch = c.toChar
+        val t = next(s).get(ch) match {
+          case Some(t0) => t0
+          case None => if (s == 0) 0 else goto(fail(s) * Alpha + c)
+        }
+        goto(s * Alpha + c) = t
+        c += 1
+      }
+      next(s).values.foreach { t => if (!seen(t)) { seen(t) = true; bfs += t } }
+    }
+    new Dfa(goto, out.map(_.toArray).toArray)
   }
 
   /** All (pattern, start-offset) occurrences in `text`, including overlaps. */
   def findAll(text: String): Seq[Match] = {
-    val a = automaton
+    val a = dfa
     val result = ArrayBuffer.empty[Match]
     var state = 0
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      while (state != 0 && !a.next(state).contains(c)) state = a.fail(state)
-      state = a.next(state).getOrElse(c, 0)
-      a.out(state).foreach { idx =>
-        result += Match(idx, i - patterns(idx).length + 1)
+      state = if (c < Alpha) a.goto(state * Alpha + c) else 0
+      val outs = a.out(state)
+      var k = 0
+      while (k < outs.length) {
+        result += Match(outs(k), i - patterns(outs(k)).length + 1)
+        k += 1
       }
       i += 1
     }
     result.toSeq
+  }
+
+  /**
+   * Zero-allocation match statistics: fills caller-provided arrays (sized
+   * [[numPatterns]], reused across rows within a partition) with the
+   * occurrence count and first (minimum) start offset per pattern. This is
+   * the hot-path API — per-match objects were the dominant GC source at
+   * 10^6-turn/s rates, and GC pause time is an Amdahl serial term that caps
+   * scaling efficiency.
+   */
+  def matchStats(text: String, counts: Array[Int], firstPos: Array[Int]): Unit = {
+    java.util.Arrays.fill(counts, 0)
+    java.util.Arrays.fill(firstPos, Int.MaxValue)
+    val a = dfa
+    var state = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      state = if (c < Alpha) a.goto(state * Alpha + c) else 0
+      val outs = a.out(state)
+      var k = 0
+      while (k < outs.length) {
+        val idx = outs(k)
+        counts(idx) += 1
+        val start = i - patterns(idx).length + 1
+        if (start < firstPos(idx)) firstPos(idx) = start
+        k += 1
+      }
+      i += 1
+    }
   }
 }

@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.model.Turn
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.collection.mutable.ArrayBuffer
 
 /** One detected entity mention, with link score (pipeline stages T1+T2 fused). */
 final case class Mention(
@@ -30,28 +31,82 @@ final case class Mention(
  */
 object Extraction {
 
-  /** T1+T2: all gazetteer mentions per turn, scored. */
+  /** Shared link-score formula (round-6 parity with the SQL oracle). */
+  @inline private def linkScore(n: Long): Double =
+    math.rint(n.toDouble / (n + 1).toDouble * 1e6) / 1e6
+
+  /** T1+T2: all gazetteer mentions per turn, scored. One zero-allocation
+    * DFA pass per turn; the count/first-offset arrays are reused across the
+    * whole partition. */
   def mentions(spark: SparkSession, turns: Dataset[Turn]): Dataset[Mention] = {
     import spark.implicits._
     val ac = new AhoCorasick(Gazetteer.surfaces)
     val bc = spark.sparkContext.broadcast((ac, Gazetteer.surfaces, Gazetteer.entityIds))
     turns.mapPartitions { it =>
       val (trie, surfaces, entityIds) = bc.value
+      val counts = new Array[Int](trie.numPatterns)
+      val firstPos = new Array[Int](trie.numPatterns)
       it.flatMap { turn =>
         val text = if (turn.text == null) "" else turn.text
-        trie.findAll(text)
-          .groupBy(_.patternIdx)
-          .iterator
-          .map { case (idx, ms) =>
-            val n = ms.size.toLong
-            val first = ms.map(_.start).min.toLong
-            // link score: more hits → higher confidence, shared rounding with oracle
-            val score = BigDecimal(n.toDouble / (n + 1).toDouble)
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-            Mention(turn.conv_id, turn.turn_idx, entityIds(idx), surfaces(idx), n, first, score)
+        trie.matchStats(text, counts, firstPos)
+        val out = ArrayBuffer.empty[Mention]
+        var idx = 0
+        while (idx < counts.length) {
+          if (counts(idx) > 0) {
+            val n = counts(idx).toLong
+            out += Mention(turn.conv_id, turn.turn_idx, entityIds(idx), surfaces(idx),
+              n, firstPos(idx).toLong, linkScore(n))
           }
+          idx += 1
+        }
+        out
       }
     }
+  }
+
+  /**
+   * Fused candidate-link edge extraction: overlapping-alias pairs (same
+   * turn, same first offset) computed INSIDE the mention-detection pass —
+   * per turn, mentions are grouped by offset locally, so the only shuffle
+   * is the final per-pair count (partial-aggregated map-side). At 10^12
+   * turns this removes the mention-table self-join entirely: no re-shuffle
+   * of the mention rows, no join, just a gazetteer^2-bounded pair agg.
+   * Output: (entity_a, entity_b, weight) — identical to
+   * linkEdges(mentions, 0).
+   */
+  def linkEdgesFused(spark: SparkSession, turns: Dataset[Turn]): DataFrame = {
+    import spark.implicits._
+    val ac = new AhoCorasick(Gazetteer.surfaces)
+    val bc = spark.sparkContext.broadcast((ac, Gazetteer.entityIds))
+    turns.mapPartitions { it =>
+      val (trie, entityIds) = bc.value
+      val counts = new Array[Int](trie.numPatterns)
+      val firstPos = new Array[Int](trie.numPatterns)
+      it.flatMap { turn =>
+        val text = if (turn.text == null) "" else turn.text
+        trie.matchStats(text, counts, firstPos)
+        // same-offset pairs, found by a local O(k^2) sweep over the <=|gaz|
+        // matched patterns of this turn (k is tiny and bounded)
+        val pairs = ArrayBuffer.empty[(String, String)]
+        var i = 0
+        while (i < counts.length) {
+          if (counts(i) > 0) {
+            var j = i + 1
+            while (j < counts.length) {
+              if (counts(j) > 0 && firstPos(i) == firstPos(j)) {
+                val a = entityIds(i); val b = entityIds(j)
+                pairs += (if (a < b) (a, b) else (b, a))
+              }
+              j += 1
+            }
+          }
+          i += 1
+        }
+        pairs
+      }
+    }.toDF("entity_a", "entity_b")
+      .groupBy("entity_a", "entity_b")
+      .agg(count(lit(1)).as("weight"))
   }
 
   /**
@@ -65,17 +120,35 @@ object Extraction {
    * aggregate that follows is the only shuffle.
    */
   def linkEdges(mentions: Dataset[Mention], maxDist: Long = 0L): DataFrame = {
-    val a = mentions.toDF().select(
-      col("conv_id"), col("turn_idx"),
-      col("entity_id").as("entity_a"), col("first_pos").as("pos_a"))
-    val b = mentions.toDF().select(
-      col("conv_id"), col("turn_idx"),
-      col("entity_id").as("entity_b"), col("first_pos").as("pos_b"))
-    a.join(b, Seq("conv_id", "turn_idx"))
-      .where(col("entity_a") < col("entity_b") &&
-        abs(col("pos_a") - col("pos_b")) <= maxDist)
-      .groupBy(col("entity_a"), col("entity_b"))
-      .agg(count(lit(1)).as("weight"))
+    if (maxDist == 0L) {
+      // same-offset overlap: an EQUALITY join on (conv_id, turn_idx,
+      // first_pos). Including the offset in the join key collapses the
+      // per-turn pair explosion (|gazetteer|^2 rows per turn in the generic
+      // theta-join) to only the actual overlaps — at 10^12 turns this is
+      // the difference between a 200x row blow-up and a ~1x join.
+      val a = mentions.toDF().select(
+        col("conv_id"), col("turn_idx"), col("first_pos"),
+        col("entity_id").as("entity_a"))
+      val b = mentions.toDF().select(
+        col("conv_id"), col("turn_idx"), col("first_pos"),
+        col("entity_id").as("entity_b"))
+      a.join(b, Seq("conv_id", "turn_idx", "first_pos"))
+        .where(col("entity_a") < col("entity_b"))
+        .groupBy(col("entity_a"), col("entity_b"))
+        .agg(count(lit(1)).as("weight"))
+    } else {
+      val a = mentions.toDF().select(
+        col("conv_id"), col("turn_idx"),
+        col("entity_id").as("entity_a"), col("first_pos").as("pos_a"))
+      val b = mentions.toDF().select(
+        col("conv_id"), col("turn_idx"),
+        col("entity_id").as("entity_b"), col("first_pos").as("pos_b"))
+      a.join(b, Seq("conv_id", "turn_idx"))
+        .where(col("entity_a") < col("entity_b") &&
+          abs(col("pos_a") - col("pos_b")) <= maxDist)
+        .groupBy(col("entity_a"), col("entity_b"))
+        .agg(count(lit(1)).as("weight"))
+    }
   }
 
   /**
@@ -88,15 +161,35 @@ object Extraction {
    */
   def triples(mentions: Dataset[Mention], canonical: DataFrame,
               turns: DataFrame): DataFrame = {
-    val m = mentions.toDF()
-      .join(broadcast(canonical), "entity_id") // entity dimension is small; at scale: salted shuffle join
-      .select(
-        concat(lit("urn:conv:"), col("conv_id")).as("s"),
-        lit("urn:graft:mentions").as("p"),
-        concat(lit("urn:"), col("canonical_id")).as("o"),
-        lit(0).as("o_kind"),
-        col("conv_id"), col("turn_idx"))
-      .dropDuplicates("s", "p", "o", "turn_idx")
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    // The canonical map is gazetteer-bounded (a dimension, not a fact
+    // table) — broadcast it and resolve + dedup INSIDE the partition.
+    // Mention rows are emitted turn-contiguously by the extraction pass
+    // (and caches preserve that clustering), so the per-turn distinct on
+    // canonical ids needs no shuffle at all — dropDuplicates here would
+    // re-shuffle every mention row at 10^12-turn scale for nothing.
+    // (If the entity dimension ever outgrows a broadcast, this reverts to
+    // a salted shuffle join — see SURVEY §4.)
+    val canonMap = canonical.select("entity_id", "canonical_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val bc = spark.sparkContext.broadcast(canonMap)
+    val m = mentions.mapPartitions { it =>
+      val canon = bc.value
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      var curConv: String = null
+      var curTurn = Int.MinValue
+      it.flatMap { men =>
+        if (men.conv_id != curConv || men.turn_idx != curTurn) {
+          seen.clear(); curConv = men.conv_id; curTurn = men.turn_idx
+        }
+        val c = canon.getOrElse(men.entity_id, men.entity_id)
+        if (seen.add(c))
+          Some(("urn:conv:" + men.conv_id, "urn:graft:mentions", "urn:" + c,
+            0, men.conv_id, men.turn_idx))
+        else None
+      }
+    }.toDF("s", "p", "o", "o_kind", "conv_id", "turn_idx")
     val turnIri = concat(lit("urn:conv:"), col("conv_id"), lit(":"), col("turn_idx"))
     val structure = turns.select(
       turnIri.as("s"),

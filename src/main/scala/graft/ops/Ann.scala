@@ -44,45 +44,63 @@ object Ann {
         col("cos"), col("rank").cast("long").as("rank"))
   }
 
-  /** Signature column: nBits-bit bucket id from hyperplane signs. */
-  private def signature(spark: SparkSession, df: DataFrame, planes: Array[Array[Double]],
-                        vecCol: String): DataFrame = {
+  /**
+   * Per-table bucket signatures: one pass computes all nTables x nBits dot
+   * products, emitting (row, table, bucket) — the classic multi-table
+   * hyperplane-LSH layout. Random vectors are LSH's worst case (top-10
+   * neighbors sit at ~65 deg), so recall comes from table count plus 1-bit
+   * multi-probe, not from one lucky bucket.
+   */
+  private def withBuckets(spark: SparkSession, df: DataFrame, vecCol: String,
+                          nTables: Int, nBits: Int, dim: Int): DataFrame = {
+    val planes = (0 until nTables).map(t => hyperplanes(nBits, dim, seed = 42L + t)).toArray
     val bc = spark.sparkContext.broadcast(planes)
-    val sigUdf = udf { (v: Seq[Float]) =>
+    val bucketsUdf = udf { (v: Seq[Float]) =>
       val ps = bc.value
-      var sig = 0
-      var b = 0
-      while (b < ps.length) {
-        var d = 0.0
-        val p = ps(b)
-        var i = 0
-        while (i < p.length && i < v.length) { d += p(i) * v(i); i += 1 }
-        if (d >= 0) sig |= (1 << b)
-        b += 1
+      val out = new Array[Int](ps.length)
+      var t = 0
+      while (t < ps.length) {
+        var sig = 0
+        var b = 0
+        while (b < ps(t).length) {
+          var d = 0.0
+          val p = ps(t)(b)
+          var i = 0
+          while (i < p.length && i < v.length) { d += p(i) * v(i); i += 1 }
+          if (d >= 0) sig |= (1 << b)
+          b += 1
+        }
+        out(t) = sig
+        t += 1
       }
-      sig
+      out
     }
-    df.withColumn("bucket", sigUdf(col(vecCol)))
+    df.withColumn("buckets", bucketsUdf(col(vecCol)))
+      .select(col("*"), posexplode(col("buckets")).as(Seq("table", "bucket")))
+      .drop("buckets")
   }
 
   /**
-   * LSH top-k with 1-bit multi-probe. `nBits` trades recall for bucket size:
-   * 2^nBits buckets; probing nBits+1 of them.
+   * Multi-table LSH top-k with 1-bit multi-probe: candidates = union over
+   * `nTables` hash tables of the query's bucket and its 1-bit-flip
+   * neighbors; exact cosine re-rank on the deduplicated candidate set. At
+   * corpus scale the (table, bucket) join replaces the full crossJoin, and
+   * shuffle volume is bounded by bucket occupancy x probes.
    */
   def lshTopK(spark: SparkSession, embeddings: DataFrame, queryIds: Seq[Long],
-              k: Int, nBits: Int = 8, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(nBits, dim)
-    val corpus = signature(spark, embeddings, planes, "embedding")
-    val queries = signature(spark,
+              k: Int, nTables: Int = 8, nBits: Int = 8, dim: Int = 64): DataFrame = {
+    val corpus = withBuckets(spark, embeddings, "embedding", nTables, nBits, dim)
+    val queries = withBuckets(spark,
       embeddings.where(col("vec_id").isin(queryIds: _*))
         .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
-      planes, "qe")
-    // multi-probe: query bucket + every 1-bit flip
-    val probes = queries.select(col("query_id"), col("qe"),
+      "qe", nTables, nBits, dim)
+    val probes = queries.select(col("query_id"), col("qe"), col("table"),
       explode(array((col("bucket") +: (0 until nBits).map(b =>
         col("bucket").bitwiseXOR(lit(1 << b)))): _*)).as("bucket"))
-    val candidates = corpus.join(broadcast(probes), "bucket")
+    val candidates = corpus.join(broadcast(probes), Seq("table", "bucket"))
       .where(col("vec_id") =!= col("query_id"))
+      .select("query_id", "qe", "vec_id", "embedding")
+      .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     candidates
       .withColumn("cos", round(Dedup.cosine(

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import graft.model.Turn
+import graft.pipeline.{AhoCorasick, Extraction, Gazetteer, Mention}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Running per-conversation state for the stateful stream. */
+final case class ConvState(entities: Set[String], turns: Int)
+final case class ConvUpdate(conv_id: String, n_turns: Int, n_entities: Int)
+
+/**
+ * Incremental (streaming) variants of the extraction stages. The reference
+ * is batch-only (SURVEY §2.3: no streaming surface anywhere in rdfx), and
+ * the north rule targets batch spark-submit jobs — these exist because a
+ * production transcript table GROWS, and the same mention-detection logic
+ * must run on the tail without reprocessing history.
+ *
+ * Built on Structured Streaming: file-source `readStream` over the
+ * transcript directory, the identical broadcast-trie `mapPartitions` as the
+ * batch path (the Dataset API unifies them), watermarked tumbling-window
+ * aggregation for mention counts, and `flatMapGroupsWithState` for
+ * per-conversation running state (distinct-entity and turn counters).
+ */
+object StreamingExtraction {
+
+  val turnSchema: StructType = StructType(Seq(
+    StructField("conv_id", StringType),
+    StructField("turn_idx", IntegerType),
+    StructField("role", StringType),
+    StructField("text", StringType),
+    StructField("tool", StringType),
+    StructField("ts", TimestampType)))
+
+  /** File-source stream of transcript turns. */
+  def turnStream(spark: SparkSession, inputDir: String): Dataset[Turn] = {
+    import spark.implicits._
+    spark.readStream.schema(turnSchema).parquet(inputDir).as[Turn]
+  }
+
+  /** Stateless streaming mention extraction — same code path as batch T1. */
+  def mentionStream(spark: SparkSession, turns: Dataset[Turn]): Dataset[Mention] =
+    Extraction.mentions(spark, turns)
+
+  /**
+   * Watermarked tumbling-window mention counts per canonical-entity surface:
+   * the incremental twin of the batch q_stream_window aggregation. Late rows
+   * beyond 30 minutes are dropped by the watermark — state stays bounded.
+   */
+  def windowedMentionCounts(spark: SparkSession, turns: Dataset[Turn]): DataFrame = {
+    import spark.implicits._
+    val withTs = mentionStream(spark, turns).toDF()
+      .join(turns.toDF().select("conv_id", "turn_idx", "ts"), Seq("conv_id", "turn_idx"))
+    withTs
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("entity_id"))
+      .agg(count(lit(1)).as("n_mentions"), sum("n_hits").as("total_hits"))
+      .select(col("window.start").as("window_start"), col("entity_id"),
+        col("n_mentions"), col("total_hits"))
+  }
+
+  /**
+   * Stateful per-conversation tracking via flatMapGroupsWithState: running
+   * (turns seen, distinct entities mentioned) per conv_id, one update row
+   * per incoming batch per active conversation.
+   */
+  def conversationState(spark: SparkSession, turns: Dataset[Turn]): Dataset[ConvUpdate] = {
+    import spark.implicits._
+    val ac = new AhoCorasick(Gazetteer.surfaces)
+    val bc = spark.sparkContext.broadcast((ac, Gazetteer.entityIds))
+
+    def update(convId: String, rows: Iterator[Turn],
+               state: GroupState[ConvState]): Iterator[ConvUpdate] = {
+      val (trie, entityIds) = bc.value
+      val counts = new Array[Int](trie.numPatterns)
+      val firstPos = new Array[Int](trie.numPatterns)
+      var s = state.getOption.getOrElse(ConvState(Set.empty, 0))
+      var n = 0
+      rows.foreach { t =>
+        trie.matchStats(if (t.text == null) "" else t.text, counts, firstPos)
+        var i = 0
+        var ents = s.entities
+        while (i < counts.length) {
+          if (counts(i) > 0) ents = ents + entityIds(i)
+          i += 1
+        }
+        s = ConvState(ents, s.turns + 1)
+        n += 1
+      }
+      state.update(s)
+      if (n > 0) Iterator(ConvUpdate(convId, s.turns, s.entities.size)) else Iterator.empty
+    }
+
+    turns.groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+}

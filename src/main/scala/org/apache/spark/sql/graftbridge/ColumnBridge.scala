@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Bridge into Spark 4's `private[sql]` Column <-> Catalyst Expression
+ * conversion (Column wraps a ColumnNode since the Connect unification; the
+ * old `new Column(expr)` / `col.expr` public path is gone). Lives in an
+ * `org.apache.spark.sql` subpackage purely for access; no Spark internals
+ * are modified.
+ */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

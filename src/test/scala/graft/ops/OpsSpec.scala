@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  lazy val embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("exact dedup groups identical texts and keeps min doc_id") {
+    import spark.implicits._
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exactDedup(d).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 2)
+    val dup = got.find(_._2 == 1L).get
+    assert(dup._3 == 2L)
+  }
+
+  test("minhash: identical docs share signatures; LSH surfaces them as candidates") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(d)
+    val rows = sigs.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(rows(1L) == rows(2L))
+    assert(rows(1L) != rows(3L))
+    val pairs = Dedup.lshCandidatePairs(sigs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("bigram jaccard: identical docs score 1.0; disjoint docs score 0.0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.ngramJaccard(d, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(got((1L, 3L)) == 0.0)
+  }
+
+  test("simhash: identical docs equal; near-identical docs are close in hamming distance") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = Seq((1L, base), (2L, base), (3L, base + " extra"),
+      (4L, (1 to 40).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(got(1L) == got(2L))
+    // 16-bit sketch: near-identical must be strictly closer than unrelated
+    assert(hamming(got(1L), got(3L)) < hamming(got(1L), got(4L)))
+    assert(hamming(got(1L), got(3L)) <= 5)
+  }
+
+  test("cosine column matches a scala-side computation") {
+    import spark.implicits._
+    val d = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f))).toDF("a", "b")
+    val got = d.select(Dedup.cosine(col("a").cast("array<double>"),
+      col("b").cast("array<double>"))).head().getDouble(0)
+    val exp = 10.0 / (math.sqrt(14.0) * math.sqrt(14.0))
+    assert(math.abs(got - exp) < 1e-12)
+  }
+
+  test("LSH ANN achieves >= 0.6 recall@10 vs brute force on real embeddings") {
+    val queryIds = Seq(0L, 1L, 2L, 3L, 4L)
+    val brute = Ann.bruteForceTopK(embeddings, queryIds, 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val lsh = Ann.lshTopK(spark, embeddings, queryIds, 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = queryIds.map { q =>
+      val b = brute(q)
+      lsh.get(q).map(l => (l intersect b).size.toDouble / b.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall $mean, per-query $recalls")
+  }
+
+  test("multimodal: synthesized payloads are 16 md5 bytes; stub features are deterministic") {
+    val assets = Multimodal.synthesizeAssets(spark, docs)
+    val feats1 = Multimodal.extractFeatures(assets).collect().sortBy(_.doc_id)
+    val feats2 = Multimodal.extractFeatures(assets).collect().sortBy(_.doc_id)
+    assert(feats1.map(_.byte_sum).sameElements(feats2.map(_.byte_sum)))
+    assert(feats1.forall(_.n_bytes == 16L))
+    assert(feats1.forall(_.feature.length == 4))
+    val meta = Multimodal.assetMetadata(assets)
+    assert(meta.where(col("media_type").isin("image", "audio", "video")).count() == meta.count())
+  }
+
+  test("text analysis columns are well-formed on the real corpus") {
+    val tc = TextAnalysis.tokenCounts(docs).collect()
+    assert(tc.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0))
+    val q = TextAnalysis.qualityScores(docs).collect()
+    assert(q.forall { r =>
+      val quality = r.getDouble(5)
+      quality >= 0.0 && quality <= 1.0
+    })
+    val langs = TextAnalysis.langId(docs).select("predicted_lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "es", "de", "fr", "zh")))
+    val fp = TextAnalysis.fingerprints(docs).collect()
+    assert(fp.forall(_.getString(1).length == 32))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import graft.model._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  /** Independent in-test oracle: substring counting via indexOf. */
+  private def expectedMentions(text: String): Map[String, (Int, Int)] =
+    Gazetteer.entries.flatMap { case (surface, ent) =>
+      var count = 0
+      var first = -1
+      var i = text.indexOf(surface)
+      if (i >= 0) first = i
+      while (i >= 0) { count += 1; i = text.indexOf(surface, i + 1) }
+      if (count > 0) Some(ent -> (count, first)) else None
+    }.toMap
+
+  test("mention detection matches the independent substring oracle (P/R = 1.0)") {
+    import spark.implicits._
+    val turns = Transcripts.turns(spark, sfDir)
+    val got = Extraction.mentions(spark, turns).collect()
+      .map(m => (m.conv_id, m.turn_idx, m.entity_id) -> (m.n_hits.toInt, m.first_pos.toInt))
+      .toMap
+    val texts = turns.collect()
+    var checked = 0
+    texts.foreach { t =>
+      val exp = expectedMentions(t.text)
+      exp.foreach { case (ent, (n, first)) =>
+        assert(got((t.conv_id, t.turn_idx, ent)) == (n, first),
+          s"mismatch for $ent in ${t.conv_id}:${t.turn_idx}")
+        checked += 1
+      }
+      // no false positives for this turn
+      val gotEnts = got.keys.filter(k => k._1 == t.conv_id && k._2 == t.turn_idx).map(_._3).toSet
+      assert(gotEnts == exp.keySet)
+    }
+    assert(checked > 1000) // the corpus actually exercises the matcher
+  }
+
+  test("overlapping multi-token surfaces are matched across word boundaries") {
+    import spark.implicits._
+    val turns = Seq(
+      Turn("c0", 0, "user", "the table scan is a table scan indeed", null,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDS()
+    val m = Extraction.mentions(spark, turns).collect()
+    val byEnt = m.map(x => x.entity_id -> x).toMap
+    assert(byEnt("ent:table_scan").n_hits == 2)
+    assert(byEnt("ent:table_scan").first_pos == 4)
+    assert(byEnt("ent:table").n_hits == 2)
+    assert(byEnt("ent:tab").first_pos == 4) // prefix alias at the same offset
+    assert(byEnt("ent:scan").n_hits == 2)
+  }
+
+  test("fused link edges equal the generic join-based implementation") {
+    import spark.implicits._
+    val turns = Transcripts.turns(spark, sfDir)
+    val m = Extraction.mentions(spark, turns)
+    val joined = Extraction.linkEdges(m).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val fused = Extraction.linkEdgesFused(spark, turns).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(fused == joined)
+    assert(fused.nonEmpty)
+  }
+
+  test("canonicalization produces transitive alias chains") {
+    import spark.implicits._
+    val turns = Transcripts.turns(spark, sfDir)
+    val m = Extraction.mentions(spark, turns)
+    val canonical = Canonicalize.connectedComponents(spark,
+      Extraction.linkEdgesFused(spark, turns),
+      m.toDF().select(col("entity_id")).distinct()).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(canonical("ent:table") == "ent:tab")
+    assert(canonical("ent:table_scan") == "ent:tab")
+    assert(canonical("ent:hash_join") == "ent:has")
+    assert(canonical("ent:spark") == "ent:spark") // singleton unchanged
+  }
+
+  test("per-turn text equality under stable (conv_id, turn_idx) ordering") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .orderBy("doc_id").collect()
+    val turns = Transcripts.synthesize(spark, sfDir)
+      .orderBy(col("conv_id"), col("turn_idx")).collect()
+    // invariant: every document text appears verbatim as exactly one turn
+    val turnTexts = turns.map(r => r.getAs[String]("text"))
+    assert(turnTexts.sorted.toSeq == docs.map(_.getAs[String]("text")).sorted.toSeq)
+    // ordering within a conversation is stable and gap-free
+    turns.groupBy(_.getAs[String]("conv_id")).foreach { case (_, rows) =>
+      val idxs = rows.map(_.getAs[Int]("turn_idx")).sorted
+      assert(idxs.sameElements(idxs.indices.map(_.toInt)))
+    }
+  }
+
+  test("pipeline run is deterministic and resumable") {
+    import java.nio.file.{Files, Paths}
+    val work = Files.createTempDirectory("graftpipe").toString
+    val t1 = Pipeline.run(spark, sfDir, work)
+    val rows1 = t1.collect().map(_.toString).sorted
+    // simulate crash: wipe the last stages, rerun
+    def rm(p: String): Unit = {
+      val d = Paths.get(work, p).toFile
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(del)
+        f.delete()
+      }
+      if (d.exists) del(d)
+    }
+    rm("t3_triples"); rm("t4_canonical"); rm("t6_serialize")
+    val t2 = Pipeline.run(spark, sfDir, work)
+    val rows2 = t2.collect().map(_.toString).sorted
+    assert(rows1.sameElements(rows2))
+    assert(rows1.nonEmpty)
+  }
+}

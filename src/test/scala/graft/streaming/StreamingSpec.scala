@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.pipeline.{Extraction, Transcripts}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def writeTranscripts(): String = {
+    val dir = Files.createTempDirectory("graftstream").toString
+    Transcripts.synthesize(spark, sfDir).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming mention extraction equals the batch path") {
+    import spark.implicits._
+    val dir = writeTranscripts()
+    val stream = StreamingExtraction.mentionStream(spark,
+      StreamingExtraction.turnStream(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("mentions_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("mentions_stream").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(4))).toSet
+    val batch = Extraction.mentions(spark, Transcripts.turns(spark, sfDir)).collect()
+      .map(m => (m.conv_id, m.turn_idx, m.entity_id, m.n_hits)).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("watermarked windowed mention counts complete and match batch aggregation") {
+    val dir = writeTranscripts()
+    val agg = StreamingExtraction.windowedMentionCounts(spark,
+      StreamingExtraction.turnStream(spark, dir))
+    val q = agg.writeStream.format("memory").queryName("windowed_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("windowed_stream")
+    // append mode emits only watermark-closed windows; on a finite batch the
+    // final windows stay open, so compare the closed subset against batch
+    import spark.implicits._
+    val turns = Transcripts.turns(spark, sfDir)
+    val batchAgg = Extraction.mentions(spark, turns).toDF()
+      .join(turns.toDF().select("conv_id", "turn_idx", "ts"), Seq("conv_id", "turn_idx"))
+      .groupBy(window(col("ts"), "10 minutes"), col("entity_id"))
+      .agg(count(lit(1)).as("n_mentions"))
+      .select(col("window.start").as("window_start"), col("entity_id"), col("n_mentions"))
+    val got = streamed.select("window_start", "entity_id", "n_mentions").collect()
+      .map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    val exp = batchAgg.collect()
+      .map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (k, v) => assert(exp(k) == v, s"window $k") }
+  }
+
+  test("flatMapGroupsWithState tracks per-conversation running entity counts") {
+    val dir = writeTranscripts()
+    val updates = StreamingExtraction.conversationState(spark,
+      StreamingExtraction.turnStream(spark, dir))
+    val q = updates.writeStream.format("memory").queryName("conv_state")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("conv_state").collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(rows.nonEmpty)
+    // every conversation saw all its turns; entity counts are plausible and bounded
+    rows.values.foreach { case (nTurns, nEnts) =>
+      assert(nTurns > 0 && nEnts > 0 && nEnts <= graft.pipeline.Gazetteer.entityIds.length)
+    }
+    // cross-check one conversation against the batch mention table
+    import spark.implicits._
+    val batch = Extraction.mentions(spark, Transcripts.turns(spark, sfDir))
+      .toDF().groupBy("conv_id").agg(countDistinct("entity_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    batch.foreach { case (conv, n) => assert(rows(conv)._2 == n, s"conv $conv") }
+  }
+}

@@ -314,8 +314,10 @@ object SparkEntry {
     (0 until Dedup.MinhashK).map(i => s"min(md5('$i:' || tok)) AS sig_$i").mkString(", ")
 
   private val minhashCte: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    s"""WITH toklists AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |toks AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS tok
+       |  FROM toklists, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
        |),
        |sigs AS (SELECT doc_id, $minhashAggs FROM toks GROUP BY doc_id)""".stripMargin
 
@@ -443,10 +445,10 @@ object SparkEntry {
 
     "q_ngram_jaccard" ->
       s"""$lshPairsCte,
-         |toklists AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |jtoklists AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |shingles AS (
          |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS shingle
-         |  FROM toklists, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+         |  FROM jtoklists, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
          |),
          |sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
          |inter AS (

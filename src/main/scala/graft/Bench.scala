@@ -15,6 +15,8 @@ object Bench {
     try {
       SparkEntry.queries.get("q_transcripts").foreach(_(spark, sfDir).count())
       SparkEntry.queries.get("q_kg_triples").foreach(_(spark, sfDir).count())
+      SparkEntry.queries.get("q_ann_topk").foreach(_(spark, sfDir).count())
+      SparkEntry.queries.get("q_minhash_sig").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/**
+ * Native vector kernels for the embedding operators (`embeddings.embedding`
+ * is `array<float>`).
+ *
+ * [[CosineF]] is a codegen'd Catalyst `BinaryExpression` replacing the
+ * `aggregate(zip_with(...))` higher-order-function formulation: HOFs build a
+ * boxed intermediate array per row-pair, which dominates the label-blocked
+ * near-dup scan (O(pairs) allocations). The kernel reads both `ArrayData`
+ * buffers in one fused loop with three double accumulators, in the SAME
+ * per-accumulator fold order as the HOF version — bit-identical doubles, so
+ * `round(x, 6)` oracle comparisons are unaffected.
+ */
+object VecFunctions {
+
+  /** Fused cosine over two float arrays; double accumulation. Codegen target. */
+  def cosineFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Deterministic hyperplanes: [table][bit][dim] from a seeded Gaussian. */
+  def hyperplanes(nTables: Int, nBits: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] =
+    Array.tabulate(nTables) { t =>
+      val rnd = new java.util.Random(seed + t)
+      Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    }
+
+  /** Per-table sign-of-dot bucket signatures for one vector. Codegen target. */
+  def bucketsFor(v: ArrayData, planes: Array[Array[Array[Double]]]): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Int](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      val table = planes(t)
+      var sig = 0
+      var b = 0
+      while (b < table.length) {
+        val p = table(b)
+        var d = 0.0
+        var i = 0
+        val lim = math.min(p.length, n)
+        while (i < lim) { d += p(i) * v.getFloat(i); i += 1 }
+        if (d >= 0) sig |= (1 << b)
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  private val eu = org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Cosine similarity of two `array<float>` columns — native, codegen'd. */
+  def cosine_f(a: Column, b: Column): Column =
+    eu.column(CosineF(eu.expression(a), eu.expression(b)))
+
+  /** nTables hyperplane-LSH bucket ids for an `array<float>` column. */
+  def lsh_buckets(v: Column, nTables: Int, nBits: Int, dim: Int, seed: Long = 42L): Column =
+    eu.column(HyperplaneBuckets(eu.expression(v), nTables, nBits, dim, seed))
+}
+
+/** Cosine similarity of two float-array columns — native codegen'd expression. */
+case class CosineF(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecFunctions.cosineFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecFunctions.cosineFloat($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineF =
+    copy(left = l, right = r)
+}
+
+/**
+ * Hyperplane-LSH bucket signatures of a float-array column — native codegen'd
+ * expression. Replaces a Scala UDF that measured ~60x slower than the raw
+ * kernel (Spark 4 ScalaUDF Seq conversion per call), which dominated the ANN
+ * query because Catalyst re-evaluates the projection in the generator's
+ * null/empty Filter guard.
+ */
+case class HyperplaneBuckets(child: Expression, nTables: Int, nBits: Int, dim: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  @transient private lazy val planes: Array[Array[Array[Double]]] =
+    VecFunctions.hyperplanes(nTables, nBits, dim, seed)
+  override protected def nullSafeEval(v: Any): Any =
+    VecFunctions.bucketsFor(v.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecFunctions.bucketsFor($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,11 +23,9 @@ import org.apache.spark.sql.functions._
  */
 object Ann {
 
-  /** Deterministic hyperplanes: coefficient (p,d) from a seeded xorshift. */
-  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
-  }
+  /** Deterministic hyperplanes: coefficient (p,d) from a seeded Gaussian. */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    graft.functions.VecFunctions.hyperplanes(1, nBits, dim, seed)(0)
 
   def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val queries = embeddings
@@ -35,8 +33,8 @@ object Ann {
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val scored = embeddings.crossJoin(broadcast(queries))
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(Dedup.cosine(
-        col("qe").cast("array<double>"), col("embedding").cast("array<double>")), 6))
+      .withColumn("cos", round(
+        graft.functions.VecFunctions.cosine_f(col("qe"), col("embedding")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -49,36 +47,18 @@ object Ann {
    * products, emitting (row, table, bucket) — the classic multi-table
    * hyperplane-LSH layout. Random vectors are LSH's worst case (top-10
    * neighbors sit at ~65 deg), so recall comes from table count plus 1-bit
-   * multi-probe, not from one lucky bucket.
+   * multi-probe, not from one lucky bucket. The signature is a native
+   * codegen'd expression ([[graft.functions.HyperplaneBuckets]]): the UDF
+   * formulation measured ~0.85 ms/call in ScalaUDF conversion overhead vs
+   * ~5 us of actual math, and Catalyst evaluates the projection up to three
+   * times (generator null-guard), so the kernel must be free to re-run.
    */
-  private def withBuckets(spark: SparkSession, df: DataFrame, vecCol: String,
-                          nTables: Int, nBits: Int, dim: Int): DataFrame = {
-    val planes = (0 until nTables).map(t => hyperplanes(nBits, dim, seed = 42L + t)).toArray
-    val bc = spark.sparkContext.broadcast(planes)
-    val bucketsUdf = udf { (v: Seq[Float]) =>
-      val ps = bc.value
-      val out = new Array[Int](ps.length)
-      var t = 0
-      while (t < ps.length) {
-        var sig = 0
-        var b = 0
-        while (b < ps(t).length) {
-          var d = 0.0
-          val p = ps(t)(b)
-          var i = 0
-          while (i < p.length && i < v.length) { d += p(i) * v(i); i += 1 }
-          if (d >= 0) sig |= (1 << b)
-          b += 1
-        }
-        out(t) = sig
-        t += 1
-      }
-      out
-    }
-    df.withColumn("buckets", bucketsUdf(col(vecCol)))
+  private def withBuckets(df: DataFrame, vecCol: String,
+                          nTables: Int, nBits: Int, dim: Int): DataFrame =
+    df.withColumn("buckets",
+        graft.functions.VecFunctions.lsh_buckets(col(vecCol), nTables, nBits, dim))
       .select(col("*"), posexplode(col("buckets")).as(Seq("table", "bucket")))
       .drop("buckets")
-  }
 
   /**
    * Multi-table LSH top-k with 1-bit multi-probe: candidates = union over
@@ -87,10 +67,10 @@ object Ann {
    * corpus scale the (table, bucket) join replaces the full crossJoin, and
    * shuffle volume is bounded by bucket occupancy x probes.
    */
-  def lshTopK(spark: SparkSession, embeddings: DataFrame, queryIds: Seq[Long],
+  def lshTopK(embeddings: DataFrame, queryIds: Seq[Long],
               k: Int, nTables: Int = 8, nBits: Int = 8, dim: Int = 64): DataFrame = {
-    val corpus = withBuckets(spark, embeddings, "embedding", nTables, nBits, dim)
-    val queries = withBuckets(spark,
+    val corpus = withBuckets(embeddings, "embedding", nTables, nBits, dim)
+    val queries = withBuckets(
       embeddings.where(col("vec_id").isin(queryIds: _*))
         .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
       "qe", nTables, nBits, dim)
@@ -103,8 +83,8 @@ object Ann {
       .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     candidates
-      .withColumn("cos", round(Dedup.cosine(
-        col("qe").cast("array<double>"), col("embedding").cast("array<double>")), 6))
+      .withColumn("cos", round(
+        graft.functions.VecFunctions.cosine_f(col("qe"), col("embedding")), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

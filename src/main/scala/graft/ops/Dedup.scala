@@ -52,6 +52,8 @@ object Dedup {
    * two tokens have no shingles and thus no signature (same on both engines).
    */
   def minhashSignatures(docs: DataFrame): DataFrame = {
+    // array_distinct (narrow, per-doc) before exploding: duplicates can't
+    // change a min-aggregate, but each one would cost k md5 calls
     val exploded = bigramShingles(docs).withColumnRenamed("shingle", "tok")
     val aggs = (0 until MinhashK).map(i => min(seedHash(i, col("tok"))).as(s"sig_$i"))
     exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
@@ -67,16 +69,28 @@ object Dedup {
   /**
    * MinHash-LSH candidate pairs: documents sharing at least one band bucket.
    * Returns distinct (doc_a, doc_b), doc_a < doc_b.
+   *
+   * Shaped as ONE aggregate — group by (band, key), collect the bucket
+   * membership, emit each bucket's pairs narrowly — rather than a
+   * banded-self-join: the self-join form evaluates the MinHash aggregate
+   * subtree once per join side (no exchange reuse across differing
+   * projections), and bucket membership is small by construction (banding
+   * exists precisely to keep buckets near-duplicate-only), so collect_set
+   * per bucket is safe at corpus scale where a doc_id list that didn't fit
+   * an executor would mean the banding itself had failed.
    */
   def lshCandidatePairs(signatures: DataFrame): DataFrame = {
     val banded = signatures.select(
       col("doc_id"),
       posexplode(array((0 until LshBands).map(bandKey): _*)).as(Seq("band", "key")))
-    val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
-    val b = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "key"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+    val buckets = banded.groupBy("band", "key")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) >= 2)
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1), y =>
+          struct(x.as("doc_a"), y.as("doc_b")))))).as("pair"))
+      .select(col("pair.doc_a"), col("pair.doc_b"))
       .distinct()
   }
 
@@ -106,15 +120,24 @@ object Dedup {
 
   // ------------------------------------------------------- n-gram jaccard
 
-  /** Distinct word-bigram shingles per doc. */
+  /**
+   * Word-bigram array per doc, built NARROW (zip_with over two slices of the
+   * token array) — the earlier `posexplode` + `lead()` window formulation
+   * cost a full shuffle + per-doc sort just to pair adjacent tokens.
+   */
+  private def bigramArray(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) >= 2,
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct word-bigram shingles per doc (per-doc dedup is narrow too). */
   def bigramShingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("t"))
-      .select(col("doc_id"), posexplode(col("t")).as(Seq("i", "w")))
-      .withColumn("next", lead("w", 1).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")))
-      .where(col("next").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("w"), col("next")).as("shingle"))
-      .distinct()
+    docs.select(col("doc_id"), array_distinct(bigramArray(col("text"))).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
 
   /**
    * Bigram-Jaccard similarity for candidate pairs (from LSH): intersection
@@ -137,7 +160,12 @@ object Dedup {
 
   // ------------------------------------------------- embedding near-dup
 
-  /** Cosine similarity between two float-array columns (codegen'd HOFs). */
+  /**
+   * Cosine similarity between two double-array columns via built-in HOFs —
+   * the SQL-expressible formulation kept for documentation/tests; hot paths
+   * use the native fused kernel [[graft.functions.VecFunctions.cosine_f]]
+   * (bit-identical fold order, no per-pair intermediate array).
+   */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
@@ -154,8 +182,8 @@ object Dedup {
     val b = embeddings.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.join(b, "label")
       .where(col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(cosine(
-        col("ea").cast("array<double>"), col("eb").cast("array<double>")), 6))
+      .withColumn("cos", round(
+        graft.functions.VecFunctions.cosine_f(col("ea"), col("eb")), 6))
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }

@@ -74,7 +74,7 @@ class OpsSpec extends AnyFunSuite {
     val queryIds = Seq(0L, 1L, 2L, 3L, 4L)
     val brute = Ann.bruteForceTopK(embeddings, queryIds, 10).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val lsh = Ann.lshTopK(spark, embeddings, queryIds, 10).collect()
+    val lsh = Ann.lshTopK(embeddings, queryIds, 10).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val recalls = queryIds.map { q =>
       val b = brute(q)

@@ -33,4 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ParallelGC + a bounded Tungsten page size keeps allocation regular.
   "-XX:+UseParallelGC",
   "-Dspark.buffer.pageSize=4m",
-)
+) ++ sys.env.get("SPARK_JVM_CPUS").map(n =>
+  // Two-cluster-size proxy fairness (ScalingBench): local[N] only limits
+  // TASK slots — GC/JIT/netty pools still size from the host's 32 cores,
+  // so the small "cluster" silently borrows the whole box. This makes the
+  // entire JVM believe it has N cores, like a real N-core executor.
+  s"-XX:ActiveProcessorCount=$n").toSeq

@@ -46,6 +46,11 @@ object ScalingBench {
   /** The measured job: transcripts -> triples -> materialize. Returns triple count. */
   def runJob(spark: SparkSession, sfDir: String, replication: Int, outDir: String): Long = {
     import spark.implicits._
+    def phase[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"""{"phase": "$name", "seconds": ${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      r
+    }
     // explicit repartition by conv_id (north_star): the amplified corpus
     // comes out of one parquet file = one input split — without this the
     // entire narrow extraction chain runs on a single task at any level.
@@ -53,15 +58,16 @@ object ScalingBench {
     // and spill, serializing the job on disk bandwidth — recomputing the
     // (cheap, zero-allocation) extraction pass scales with cores instead.
     def turns = amplifiedTurns(spark, sfDir, replication)
-    def m = Extraction.mentions(spark, turns.as[Turn])
     // nodes = the gazetteer entity dimension (static) — deriving it from the
     // mention table would cost one more full extraction pass over the corpus
     val nodes = Gazetteer.entityIds.toSeq.toDF("entity_id")
-    val canonical = Canonicalize.connectedComponents(spark,
-      Extraction.linkEdgesFused(spark, turns.as[Turn]), nodes)
-    val triples = Extraction.triples(m, canonical, turns)
-    triples.write.mode("overwrite").parquet(outDir)
-    spark.read.parquet(outDir).count()
+    val canonical = phase("edges+cc")(Canonicalize.connectedComponents(spark,
+      Extraction.linkEdgesFused(spark, turns.as[Turn]), nodes))
+    // fused T1+T2+T3: the corpus is synthesized + matched ONCE for the
+    // triple materialization (the compositional union evaluated it 3x)
+    val triples = Extraction.triplesFused(spark, turns.as[Turn], canonical)
+    phase("write")(triples.write.mode("overwrite").parquet(outDir))
+    phase("count")(spark.read.parquet(outDir).count())
   }
 
   private def session(cpus: Int): SparkSession = {

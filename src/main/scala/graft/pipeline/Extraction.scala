@@ -205,4 +205,51 @@ object Extraction {
       col("conv_id"), col("turn_idx"))
     m.unionByName(structure).unionByName(roles)
   }
+
+  /**
+   * T1+T2+T3 in ONE pass for the throughput path: the compositional
+   * [[triples]] plan evaluates the transcript source three times (mention
+   * branch + structure branch + role branch of the union) and runs the
+   * automaton once more than needed; with no persist (see BENCH.md — at
+   * this corpus size serialized caches spill and anti-scale) that is 3x
+   * the synthesis allocations. Fusing emission into the extraction
+   * mapPartitions reads the corpus ONCE, which both cuts wall time and —
+   * because allocation pressure is what caps 32-thread GC scaling on one
+   * heap — improves the N->4N efficiency. Emits exactly the same rows.
+   */
+  def triplesFused(spark: SparkSession, turns: Dataset[Turn],
+                   canonical: DataFrame): DataFrame = {
+    import spark.implicits._
+    val canonMap = canonical.select("entity_id", "canonical_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val ac = new AhoCorasick(Gazetteer.surfaces)
+    val bc = spark.sparkContext.broadcast((ac, Gazetteer.entityIds, canonMap))
+    turns.mapPartitions { it =>
+      val (trie, entityIds, canon) = bc.value
+      val counts = new Array[Int](trie.numPatterns)
+      val firstPos = new Array[Int](trie.numPatterns)
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      it.flatMap { turn =>
+        val convIri = "urn:conv:" + turn.conv_id
+        val turnIri = convIri + ":" + turn.turn_idx
+        val out = ArrayBuffer.empty[(String, String, String, Int, String, Int)]
+        out += ((turnIri, "urn:graft:partOf", convIri, 0, turn.conv_id, turn.turn_idx))
+        out += ((turnIri, "urn:graft:role", turn.role, 2, turn.conv_id, turn.turn_idx))
+        val text = if (turn.text == null) "" else turn.text
+        trie.matchStats(text, counts, firstPos)
+        seen.clear()
+        var i = 0
+        while (i < counts.length) {
+          if (counts(i) > 0) {
+            val c = canon.getOrElse(entityIds(i), entityIds(i))
+            if (seen.add(c))
+              out += ((convIri, "urn:graft:mentions", "urn:" + c, 0,
+                turn.conv_id, turn.turn_idx))
+          }
+          i += 1
+        }
+        out
+      }
+    }.toDF("s", "p", "o", "o_kind", "conv_id", "turn_idx")
+  }
 }

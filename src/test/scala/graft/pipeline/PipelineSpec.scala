@@ -74,6 +74,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(fused.nonEmpty)
   }
 
+  test("fused triples equal the compositional mentions+union implementation") {
+    import spark.implicits._
+    val turns = Transcripts.turns(spark, sfDir)
+    val m = Extraction.mentions(spark, turns)
+    val canonical = Canonicalize.connectedComponents(spark,
+      Extraction.linkEdgesFused(spark, turns),
+      m.toDF().select(col("entity_id")).distinct())
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getString(4), r.getInt(5))).toSet
+    val compositional = asSet(Extraction.triples(m, canonical, turns.toDF()))
+    val fused = asSet(Extraction.triplesFused(spark, turns, canonical))
+    assert(fused == compositional)
+    assert(fused.nonEmpty)
+  }
+
   test("canonicalization produces transitive alias chains") {
     import spark.implicits._
     val turns = Transcripts.turns(spark, sfDir)

@@ -46,8 +46,15 @@ object SparkEntry {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
   private def cached(s: SparkSession, dir: String, key: String)(mk: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((System.identityHashCode(s), dir, key),
-      mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    memo.getOrElseUpdate((System.identityHashCode(s), dir, key), {
+      // EAGER materialization: the stage artifact is built when first
+      // requested, not lazily inside whichever downstream query happens to
+      // run first — per-query timings stay order-independent (a production
+      // pipeline materializes these tables between stages anyway).
+      val df = mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
 
   private def mentionsDf(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, "mentions") {

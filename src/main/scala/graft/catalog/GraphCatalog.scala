@@ -41,6 +41,40 @@ trait GraphCatalog {
   def graphs(): Seq[String]
 }
 
+/**
+ * SOP/EDG workflow-URN surface (reference parity:
+ * /root/reference/rdfx/persistence_systems.py:760-784, 844-865). A workflow
+ * graph `urn:x-evn-tag:<datagraph>:<workflow>:<user>` addresses a change-set
+ * layered over the master graph `urn:x-evn-master:<datagraph>`; existence
+ * checks on a workflow URN delegate to its master graph.
+ */
+object GraphCatalog {
+  private val WorkflowPrefix = "urn:x-evn-tag"
+
+  def isWorkflowUrn(graphIri: String): Boolean = graphIri.startsWith(WorkflowPrefix)
+
+  /** `urn:x-evn-tag:dg:wf:user` -> `urn:x-evn-master:dg` (persistence_systems.py:844-855). */
+  def graphFromWorkflow(workflowGraph: String): String = {
+    if (!isWorkflowUrn(workflowGraph))
+      throw new IllegalArgumentException(
+        "The workflow graph passed does not start with 'x-evn-tag' - it does not look like a SOP Workflow")
+    val parts = workflowGraph.split(":", -1).toVector
+    (parts.updated(1, "x-evn-master").take(3)).mkString(":")
+  }
+
+  /** `urn:x-evn-tag:dg:wf:user` -> `urn:x-tags:wf` (persistence_systems.py:857-865). */
+  def tagFromWorkflow(workflowGraph: String): String = {
+    if (!isWorkflowUrn(workflowGraph))
+      throw new IllegalArgumentException(
+        "The workflow graph passed does not start with 'x-evn-tag' - it does not look like a SOP Workflow")
+    "urn:x-tags:" + workflowGraph.split(":", -1)(3)
+  }
+
+  /** Workflow URNs resolve to their master graph for storage addressing. */
+  def resolveGraphIri(graphIri: String): String =
+    if (isWorkflowUrn(graphIri)) graphFromWorkflow(graphIri) else graphIri
+}
+
 final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends GraphCatalog {
   private val rootPath = Paths.get(root)
   private val dataDir = rootPath.resolve("data")
@@ -53,14 +87,21 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
 
   private def graphDataDir(iri: String): Path = dataDir.resolve(enc(iri))
 
-  /** Latest committed snapshot manifest for a graph, if any. */
+  /**
+   * Latest committed snapshot manifest for a graph, if any. Manifest names
+   * are matched against the exact `<enc(iri)>.<9-digit-id>.json` pattern —
+   * URLEncoder leaves '.' unencoded, so a bare startsWith prefix test would
+   * let a graph IRI that is a dot-prefix of another (e.g. `urn:g` vs
+   * `urn:g.x`) silently resolve to the other graph's snapshots.
+   */
   private def latestSnapshot(iri: String): Option[Path] = {
-    val prefix = enc(iri) + "."
+    val pat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(enc(iri)) + "\\.\\d{9}\\.json")
     val files =
       if (!Files.isDirectory(snapDir)) Vector.empty
       else {
         val s = Files.list(snapDir)
-        try s.iterator().asScala.toVector.filter(_.getFileName.toString.startsWith(prefix))
+        try s.iterator().asScala.toVector.filter(p => pat.matcher(p.getFileName.toString).matches())
         finally s.close()
       }
     files.sortBy(_.getFileName.toString).lastOption
@@ -119,7 +160,12 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
     (comments, spark.read.parquet(m("path")))
   }
 
-  def exists(graphIri: String): Boolean = latestSnapshot(graphIri).isDefined
+  /**
+   * Workflow-aware existence (SURVEY S6; persistence_systems.py:760-784):
+   * a `urn:x-evn-tag:...` workflow URN exists iff its master graph does.
+   */
+  def exists(graphIri: String): Boolean =
+    latestSnapshot(GraphCatalog.resolveGraphIri(graphIri)).isDefined
 
   /** COUNT(*) over the named graph — partial+final count agg (SURVEY O9). */
   def count(graphIri: String): Long = read(graphIri)._2.count()

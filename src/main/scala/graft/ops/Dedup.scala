@@ -66,32 +66,59 @@ object Dedup {
   private def bandKey(b: Int): Column =
     md5(concat_ws("|", (0 until LshRows).map(r => col(s"sig_${b * LshRows + r}")): _*))
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /**
    * MinHash-LSH candidate pairs: documents sharing at least one band bucket.
    * Returns distinct (doc_a, doc_b), doc_a < doc_b.
    *
-   * Shaped as ONE aggregate — group by (band, key), collect the bucket
-   * membership, emit each bucket's pairs narrowly — rather than a
-   * banded-self-join: the self-join form evaluates the MinHash aggregate
-   * subtree once per join side (no exchange reuse across differing
-   * projections), and bucket membership is small by construction (banding
-   * exists precisely to keep buckets near-duplicate-only), so collect_set
-   * per bucket is safe at corpus scale where a doc_id list that didn't fit
-   * an executor would mean the banding itself had failed.
+   * Bucket-size guard (the 100 TB safety valve): real web corpora have
+   * DEGENERATE buckets — boilerplate/empty documents whose signatures all
+   * collide — and an unbounded per-bucket `collect_set` would assemble one
+   * multi-GB array on a single executor. Buckets are therefore sized first:
+   *  - size <= maxBucket: full quadratic pair expansion via a bounded
+   *    collect_set (banding keeps honest buckets near-duplicate-only, so
+   *    this is the common case and stays ONE aggregate);
+   *  - size > maxBucket: STAR expansion — every member pairs with the
+   *    bucket's min doc_id. Linear output, bounded shuffle, and NOTHING is
+   *    silently dropped: every member remains connected to its bucket
+   *    representative, so downstream near-dup clustering (connected
+   *    components over verified pairs) sees the same components; only the
+   *    redundant intra-bucket edges are elided. Oversize buckets are
+   *    counted eagerly and logged.
+   *
+   * The banded projection is persisted: it is read by the sizing aggregate
+   * and both expansion branches, and recomputing it means re-running the
+   * MinHash signature subtree (shingle explode over the full corpus) per
+   * consumer. It is 4 small rows per document — the cheapest artifact in
+   * the dedup pipeline.
    */
-  def lshCandidatePairs(signatures: DataFrame): DataFrame = {
+  def lshCandidatePairs(signatures: DataFrame, maxBucket: Int = 4096): DataFrame = {
     val banded = signatures.select(
       col("doc_id"),
       posexplode(array((0 until LshBands).map(bandKey): _*)).as(Seq("band", "key")))
-    val buckets = banded.groupBy("band", "key")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = banded.groupBy("band", "key")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("rep"))
+      .where(col("n") >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nOversize = counts.where(col("n") > maxBucket).count()
+    if (nOversize > 0)
+      log.warn(s"lshCandidatePairs: $nOversize bucket(s) exceed maxBucket=$maxBucket; " +
+        "emitting star pairs (member, bucket-min) for them instead of full quadratic expansion")
+    val small = banded
+      .join(counts.where(col("n") <= maxBucket).select("band", "key"), Seq("band", "key"))
+      .groupBy("band", "key")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .where(size(col("ids")) >= 2)
-    buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1), y =>
           struct(x.as("doc_a"), y.as("doc_b")))))).as("pair"))
       .select(col("pair.doc_a"), col("pair.doc_b"))
-      .distinct()
+    val oversize = banded
+      .join(counts.where(col("n") > maxBucket).select("band", "key", "rep"), Seq("band", "key"))
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    small.union(oversize).distinct()
   }
 
   // -------------------------------------------------------------- simhash
@@ -142,9 +169,18 @@ object Dedup {
   /**
    * Bigram-Jaccard similarity for candidate pairs (from LSH): intersection
    * via shingle join, |A| and |B| via per-doc counts. Score rounded to 6 dp.
+   *
+   * Docs are semi-joined down to pair MEMBERS before shingling: the
+   * candidate set is a vanishing fraction of the corpus (that is what LSH
+   * is for), so exploding shingles for non-members — the plan references
+   * the shingle table three times — would dominate the stage for rows that
+   * can never reach the output.
    */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val sh = bigramShingles(docs)
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val sh = bigramShingles(docs.join(members, Seq("doc_id"), "leftsemi"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")

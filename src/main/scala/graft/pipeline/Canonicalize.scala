@@ -42,8 +42,15 @@ object Canonicalize {
     val collected = edges
       .select(col("entity_a").as("u"), col("entity_b").as("v"))
       .limit((driverThreshold + 1).toInt).collect()
-    if (collected.length <= driverThreshold) {
-      val nodeIds = nodes.select(col("entity_id")).distinct().as[String].collect()
+    // the gate covers BOTH inputs: a sparse edge set over a production-scale
+    // entity dimension (10^6-10^8 aliases) must not pull every node id to
+    // the driver — limit+collect bounds the probe itself
+    val nodeIds =
+      if (collected.length <= driverThreshold)
+        nodes.select(col("entity_id")).distinct()
+          .limit((driverThreshold + 1).toInt).as[String].collect()
+      else Array.empty[String]
+    if (collected.length <= driverThreshold && nodeIds.length <= driverThreshold) {
       val parent = scala.collection.mutable.HashMap.empty[String, String]
       def find(x: String): String = {
         var r = x

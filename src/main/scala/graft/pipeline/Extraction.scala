@@ -159,37 +159,55 @@ object Extraction {
    *  - structure triples: <urn:conv:C:T> urn:graft:partOf <urn:conv:C>
    *  - role triples: <urn:conv:C:T> urn:graft:role "role"
    */
-  def triples(mentions: Dataset[Mention], canonical: DataFrame,
-              turns: DataFrame): DataFrame = {
-    val spark = mentions.sparkSession
-    import spark.implicits._
-    // The canonical map is gazetteer-bounded (a dimension, not a fact
-    // table) — broadcast it and resolve + dedup INSIDE the partition.
-    // Mention rows are emitted turn-contiguously by the extraction pass
-    // (and caches preserve that clustering), so the per-turn distinct on
-    // canonical ids needs no shuffle at all — dropDuplicates here would
-    // re-shuffle every mention row at 10^12-turn scale for nothing.
-    // (If the entity dimension ever outgrows a broadcast, this reverts to
-    // a salted shuffle join — see SURVEY §4.)
-    val canonMap = canonical.select("entity_id", "canonical_id").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    val bc = spark.sparkContext.broadcast(canonMap)
-    val m = mentions.mapPartitions { it =>
-      val canon = bc.value
-      val seen = scala.collection.mutable.HashSet.empty[String]
-      var curConv: String = null
-      var curTurn = Int.MinValue
-      it.flatMap { men =>
-        if (men.conv_id != curConv || men.turn_idx != curTurn) {
-          seen.clear(); curConv = men.conv_id; curTurn = men.turn_idx
-        }
-        val c = canon.getOrElse(men.entity_id, men.entity_id)
-        if (seen.add(c))
-          Some(("urn:conv:" + men.conv_id, "urn:graft:mentions", "urn:" + c,
-            0, men.conv_id, men.turn_idx))
-        else None
-      }
-    }.toDF("s", "p", "o", "o_kind", "conv_id", "turn_idx")
+  /** Entity count probe for the broadcast-vs-shuffle switch (bounded: never
+    * pulls more than limit+1 rows through the count). */
+  private def entityCount(canonical: DataFrame, limit: Long): Long =
+    canonical.limit(math.min(limit + 1, Int.MaxValue.toLong).toInt).count()
+
+  /**
+   * Resolve `entity_id -> canonical_id` onto mention-keyed rows. Below
+   * `broadcastLimit` entities the dimension is broadcast (hash join — the
+   * fact side never shuffles). Above it — the production dimension is
+   * 10^6–10^8 aliases (Gazetteer.scala:9), gigabytes as a driver map — it
+   * becomes a SALTED shuffle join: the dimension is exploded x saltBuckets
+   * and the fact side joins on (entity_id, salt), so one hot alias spreads
+   * over saltBuckets reducers instead of pinning one.
+   */
+  private def withCanonical(mentionRows: DataFrame, canonical: DataFrame,
+                            broadcastLimit: Long, saltBuckets: Int): DataFrame = {
+    val dim = canonical.select(col("entity_id"), col("canonical_id"))
+    if (entityCount(dim, broadcastLimit) <= broadcastLimit)
+      mentionRows.join(broadcast(dim), Seq("entity_id"), "left")
+    else {
+      val salted = dim.withColumn("salt",
+        explode(array((0 until saltBuckets).map(lit): _*)))
+      mentionRows
+        .withColumn("salt",
+          pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(saltBuckets)).cast("int"))
+        .join(salted, Seq("entity_id", "salt"), "left")
+        .drop("salt")
+    }
+  }
+
+  def triples(mentions: Dataset[Mention], canonical: DataFrame, turns: DataFrame,
+              entityBroadcastLimit: Long = 5000000L, saltBuckets: Int = 16): DataFrame = {
+    // Canonical resolution is a JOIN (broadcast under the limit, salted
+    // shuffle above — see withCanonical), and the per-turn distinct on
+    // canonical ids is DECLARATIVE: dropDuplicates on the output columns.
+    // The earlier per-partition 'seen' pass assumed each turn's mention
+    // rows stay contiguous in one partition — true straight out of the
+    // extraction pass, but NOT guaranteed when mentions are re-read from
+    // parquet (stage resume splits row groups at arbitrary boundaries).
+    val resolved = withCanonical(
+      mentions.toDF().select(col("entity_id"), col("conv_id"), col("turn_idx")),
+      canonical, entityBroadcastLimit, saltBuckets)
+    val m = resolved.select(
+      concat(lit("urn:conv:"), col("conv_id")).as("s"),
+      lit("urn:graft:mentions").as("p"),
+      concat(lit("urn:"), coalesce(col("canonical_id"), col("entity_id"))).as("o"),
+      lit(0).as("o_kind"),
+      col("conv_id"), col("turn_idx"))
+      .dropDuplicates("s", "p", "o", "o_kind", "conv_id", "turn_idx")
     val turnIri = concat(lit("urn:conv:"), col("conv_id"), lit(":"), col("turn_idx"))
     val structure = turns.select(
       turnIri.as("s"),
@@ -217,9 +235,11 @@ object Extraction {
    * because allocation pressure is what caps 32-thread GC scaling on one
    * heap — improves the N->4N efficiency. Emits exactly the same rows.
    */
-  def triplesFused(spark: SparkSession, turns: Dataset[Turn],
-                   canonical: DataFrame): DataFrame = {
+  def triplesFused(spark: SparkSession, turns: Dataset[Turn], canonical: DataFrame,
+                   entityBroadcastLimit: Long = 5000000L, saltBuckets: Int = 16): DataFrame = {
     import spark.implicits._
+    if (entityCount(canonical, entityBroadcastLimit) > entityBroadcastLimit)
+      return triplesFusedJoin(spark, turns, canonical, saltBuckets)
     val canonMap = canonical.select("entity_id", "canonical_id").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     val ac = new AhoCorasick(Gazetteer.surfaces)
@@ -251,5 +271,57 @@ object Extraction {
         out
       }
     }.toDF("s", "p", "o", "o_kind", "conv_id", "turn_idx")
+  }
+
+  /**
+   * The above-broadcast-limit variant of [[triplesFused]]: the single fused
+   * extraction pass still reads the corpus ONCE, emitting mention rows with
+   * the UNRESOLVED entity id in `o`; canonical resolution then runs as the
+   * salted shuffle join from [[withCanonical]]'s big path, and per-turn
+   * mention dedup is declarative (dropDuplicates). Structure/role rows ride
+   * through the join unmatched (their `o` is never an entity id) — one
+   * extra shuffle of those rows is the price of not re-reading a 100 TB
+   * corpus per branch. Emits exactly the same rows as the small path.
+   */
+  private def triplesFusedJoin(spark: SparkSession, turns: Dataset[Turn],
+                               canonical: DataFrame, saltBuckets: Int): DataFrame = {
+    import spark.implicits._
+    val ac = new AhoCorasick(Gazetteer.surfaces)
+    val bc = spark.sparkContext.broadcast((ac, Gazetteer.entityIds))
+    val raw = turns.mapPartitions { it =>
+      val (trie, entityIds) = bc.value
+      val counts = new Array[Int](trie.numPatterns)
+      val firstPos = new Array[Int](trie.numPatterns)
+      it.flatMap { turn =>
+        val convIri = "urn:conv:" + turn.conv_id
+        val turnIri = convIri + ":" + turn.turn_idx
+        val out = ArrayBuffer.empty[(String, String, String, Int, String, Int)]
+        out += ((turnIri, "urn:graft:partOf", convIri, 0, turn.conv_id, turn.turn_idx))
+        out += ((turnIri, "urn:graft:role", turn.role, 2, turn.conv_id, turn.turn_idx))
+        val text = if (turn.text == null) "" else turn.text
+        trie.matchStats(text, counts, firstPos)
+        var i = 0
+        while (i < counts.length) {
+          if (counts(i) > 0)
+            out += ((convIri, "urn:graft:mentions", entityIds(i), 0,
+              turn.conv_id, turn.turn_idx))
+          i += 1
+        }
+        out
+      }
+    }.toDF("s", "p", "o", "o_kind", "conv_id", "turn_idx")
+    val dim = canonical
+      .select(col("entity_id").as("o"), col("canonical_id"))
+      .withColumn("salt", explode(array((0 until saltBuckets).map(lit): _*)))
+    raw
+      .withColumn("salt",
+        pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(saltBuckets)).cast("int"))
+      .join(dim, Seq("o", "salt"), "left")
+      .select(col("s"), col("p"),
+        when(col("p") === "urn:graft:mentions",
+          concat(lit("urn:"), coalesce(col("canonical_id"), col("o"))))
+          .otherwise(col("o")).as("o"),
+        col("o_kind"), col("conv_id"), col("turn_idx"))
+      .dropDuplicates("s", "p", "o", "o_kind", "conv_id", "turn_idx")
   }
 }

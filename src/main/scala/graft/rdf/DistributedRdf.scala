@@ -25,12 +25,24 @@ object DistributedRdf {
 
   // ------------------------------------------------------------------- reads
 
-  /** Distributed N-Triples scan: splittable text source, per-line parse. */
+  /**
+   * Distributed N-Triples scan: splittable text source, per-line parse.
+   * Blank-node labels are salted with a per-source-file token (same as
+   * [[readDocs]] and GraphOps.merge): NT bnode labels are document-scoped,
+   * so identical labels in different files of a multi-file glob are
+   * DISTINCT nodes — rdflib's fresh-bnodes-per-parse merge semantics.
+   */
   def readNt(spark: SparkSession, path: String): Dataset[TripleRow] = {
     import spark.implicits._
-    spark.read.textFile(path).mapPartitions { lines =>
-      lines.flatMap(l => NtCodec.parseLine(l).map(TripleRow.fromTriple))
-    }
+    spark.read.text(path)
+      .select(input_file_name().as("f"), $"value")
+      .as[(String, String)]
+      .mapPartitions { lines =>
+        lines.flatMap { case (file, l) =>
+          val salt = Integer.toHexString(file.hashCode)
+          NtCodec.parseLine(l).map(t => TripleRow.fromTriple(saltBnodes(t, salt)))
+        }
+      }
   }
 
   /**

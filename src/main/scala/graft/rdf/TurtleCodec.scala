@@ -161,15 +161,26 @@ object TurtleCodec {
       }
     }
 
-    private def peekWord(w: String): Boolean =
-      doc.regionMatches(true, pos, w, 0, w.length) &&
-        (pos + w.length >= doc.length || !doc.charAt(pos + w.length).isLetterOrDigit)
+    /**
+     * Keyword lookahead. Turtle keywords (`a`, `true`, `false`) are
+     * case-sensitive; SPARQL-style directives (PREFIX/BASE) are not. A
+     * following PN character or ':' is a non-boundary, so prefixed names
+     * whose prefix collides with a keyword (`a:prop`, `true:x`) parse as
+     * names rather than keyword-plus-garbage.
+     */
+    private def peekWord(w: String, ignoreCase: Boolean = false): Boolean =
+      doc.regionMatches(ignoreCase, pos, w, 0, w.length) && {
+        pos + w.length >= doc.length || {
+          val c = doc.charAt(pos + w.length)
+          !(c.isLetterOrDigit || c == ':' || c == '_' || c == '-')
+        }
+      }
 
     private def parseStatement(): Unit = {
       if (doc.startsWith("@prefix", pos)) { pos += 7; parsePrefix(); expect('.') }
       else if (doc.startsWith("@base", pos)) { pos += 5; parseBase(); expect('.') }
-      else if (peekWord("PREFIX")) { pos += 6; parsePrefix() }
-      else if (peekWord("BASE")) { pos += 4; parseBase() }
+      else if (peekWord("PREFIX", ignoreCase = true)) { pos += 6; parsePrefix() }
+      else if (peekWord("BASE", ignoreCase = true)) { pos += 4; parseBase() }
       else parseTriples()
     }
 

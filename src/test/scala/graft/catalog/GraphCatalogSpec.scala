@@ -50,6 +50,38 @@ class GraphCatalogSpec extends AnyFunSuite {
     assert(cat.count(iri) == 6L) // 4 + 2 new, duplicates collapsed
   }
 
+  test("dot-prefix graph IRIs do not capture each other's snapshots") {
+    val root = Files.createTempDirectory("graftcat4").toString
+    val cat = new ParquetSnapshotCatalog(spark, root)
+    // 'urn:g' is a dot-prefix of 'urn:g.x' after URL-encoding ('.' survives);
+    // manifest matching must be exact, not startsWith
+    cat.write("urn:g.x", tripleDf(7, "other"))
+    assert(!cat.exists("urn:g"))
+    cat.write("urn:g", tripleDf(3, "mine"))
+    assert(cat.count("urn:g") == 3L)
+    assert(cat.count("urn:g.x") == 7L)
+    assert(cat.graphs().sorted == Seq("urn:g", "urn:g.x"))
+  }
+
+  test("workflow URN munging mirrors the SOP reference semantics") {
+    // persistence_systems.py:844-865
+    val wf = "urn:x-evn-tag:datagraph_name:workflow_name:Administrator"
+    assert(GraphCatalog.graphFromWorkflow(wf) == "urn:x-evn-master:datagraph_name")
+    assert(GraphCatalog.tagFromWorkflow(wf) == "urn:x-tags:workflow_name")
+    intercept[IllegalArgumentException](GraphCatalog.graphFromWorkflow("urn:x-evn-master:dg"))
+    intercept[IllegalArgumentException](GraphCatalog.tagFromWorkflow("urn:other:dg"))
+  }
+
+  test("workflow-aware exists delegates to the master graph") {
+    val root = Files.createTempDirectory("graftcat5").toString
+    val cat = new ParquetSnapshotCatalog(spark, root)
+    val wf = "urn:x-evn-tag:dg1:wf1:Administrator"
+    assert(!cat.exists(wf)) // master absent
+    cat.write("urn:x-evn-master:dg1", tripleDf(2, "m"))
+    assert(cat.exists(wf)) // master present -> workflow URN exists
+    assert(!cat.exists("urn:x-evn-tag:dg2:wf1:Administrator"))
+  }
+
   test("overwrite bumps the snapshot id and replaces content") {
     val root = Files.createTempDirectory("graftcat3").toString
     val cat = new ParquetSnapshotCatalog(spark, root)

@@ -37,6 +37,33 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("degenerate LSH buckets emit bounded star pairs, not a quadratic blow-up") {
+    import spark.implicits._
+    // 5,000 identical texts -> identical signatures -> every band bucket
+    // holds all 5,000 docs. Full expansion would be ~12.5M pairs; the
+    // bucket guard (maxBucket default 4096 < 5000) emits star pairs to the
+    // bucket min instead: exactly n-1 pairs, all anchored at doc 0.
+    val d = (0L until 5000L).map(i => (i, "the same boilerplate text again and again"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(Dedup.minhashSignatures(d)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == 4999)
+    assert(pairs.forall(_._1 == 0L))
+    assert(pairs.map(_._2).toSet == (1L until 5000L).toSet)
+  }
+
+  test("small LSH buckets keep full pair expansion under the guard") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d e")).toDF("doc_id", "text")
+    val full = Dedup.lshCandidatePairs(Dedup.minhashSignatures(d)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // forcing the cap below the bucket size switches to star pairs
+    val star = Dedup.lshCandidatePairs(Dedup.minhashSignatures(d), maxBucket = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == Set((1L, 2L), (1L, 3L)))
+  }
+
   test("bigram jaccard: identical docs score 1.0; disjoint docs score 0.0") {
     import spark.implicits._
     val d = Seq(

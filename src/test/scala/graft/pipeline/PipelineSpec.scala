@@ -90,6 +90,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(fused.nonEmpty)
   }
 
+  test("salted-shuffle canonical join equals the broadcast path (both fused and compositional)") {
+    import spark.implicits._
+    val turns = Transcripts.turns(spark, sfDir)
+    val m = Extraction.mentions(spark, turns)
+    val canonical = Canonicalize.connectedComponents(spark,
+      Extraction.linkEdgesFused(spark, turns),
+      m.toDF().select(col("entity_id")).distinct())
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getString(4), r.getInt(5))).toSet
+    val broadcastPath = asSet(Extraction.triples(m, canonical, turns.toDF()))
+    // entityBroadcastLimit = 0 forces the above-threshold salted join
+    val saltedPath = asSet(Extraction.triples(m, canonical, turns.toDF(),
+      entityBroadcastLimit = 0L))
+    val fusedSalted = asSet(Extraction.triplesFused(spark, turns, canonical,
+      entityBroadcastLimit = 0L))
+    assert(saltedPath == broadcastPath)
+    assert(fusedSalted == broadcastPath)
+    assert(broadcastPath.nonEmpty)
+  }
+
   test("canonicalization produces transitive alias chains") {
     import spark.implicits._
     val turns = Transcripts.turns(spark, sfDir)

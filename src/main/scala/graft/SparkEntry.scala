@@ -364,7 +364,64 @@ object SparkEntry {
        |  WHERE a.doc_id < b.doc_id
        |)""".stripMargin
 
+  /**
+   * SQL oracle for the LSH-bucketed ANN path: the hyperplanes are
+   * deterministic (seeded Gaussian, [[graft.functions.VecFunctions.hyperplanes]]),
+   * so they embed as DOUBLE[] literals — `java.lang.Double.toString` emits
+   * the shortest decimal that round-trips to the identical IEEE double, and
+   * DuckDB's strtod is correctly rounded, so both engines fold the SAME
+   * doubles in the SAME index order (sign-of-dot parity is exact, not
+   * approximate). Buckets, 1-bit multi-probe, candidate dedup and the
+   * round-6 cosine re-rank are then plain SQL, mirroring Ann.lshTopK.
+   */
+  private def annLshOracle: String = {
+    import graft.ops.Ann.{DefaultBits, DefaultDim, DefaultSeed, DefaultTables}
+    val planes = graft.functions.VecFunctions.hyperplanes(
+      DefaultTables, DefaultBits, DefaultDim, DefaultSeed)
+    val planeRows = (for (t <- 0 until DefaultTables; b <- 0 until DefaultBits) yield {
+      val arr = planes(t)(b).map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"($t, $b, $arr)"
+    }).mkString(",\n  ")
+    s"""WITH planes(tbl, bit, plane) AS (VALUES
+       |  $planeRows),
+       |vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sigs AS (
+       |  SELECT v.vec_id, p.tbl,
+       |    CAST(sum(CASE WHEN list_dot_product(p.plane, v.e) >= 0
+       |             THEN (1 << p.bit) ELSE 0 END) AS INT) AS bucket
+       |  FROM vecs v CROSS JOIN planes p
+       |  GROUP BY v.vec_id, p.tbl
+       |),
+       |qsigs AS (SELECT vec_id AS query_id, tbl, bucket FROM sigs
+       |          WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |probes AS (
+       |  SELECT query_id, tbl, bucket FROM qsigs
+       |  UNION
+       |  SELECT query_id, tbl, CAST(xor(bucket, 1 << b.b) AS INT)
+       |  FROM qsigs, (SELECT unnest(range($DefaultBits)) AS b) b
+       |),
+       |cands AS (
+       |  SELECT DISTINCT p.query_id, s.vec_id
+       |  FROM probes p JOIN sigs s ON s.tbl = p.tbl AND s.bucket = p.bucket
+       |  WHERE s.vec_id <> p.query_id
+       |),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(q.e, v.e), 6) AS cos
+       |  FROM cands c
+       |  JOIN vecs q ON q.vec_id = c.query_id
+       |  JOIN vecs v ON v.vec_id = c.vec_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_ann_lsh" -> annLshOracle,
     "q_transcripts" -> Transcripts.oracleSql,
 
     "q_kg_mentions" -> mentionsSql,

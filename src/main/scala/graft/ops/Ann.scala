@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
  */
 object Ann {
 
+  // defaults shared by lshTopK and the SQL oracle generator (SparkEntry)
+  val DefaultTables = 8
+  val DefaultBits = 8
+  val DefaultDim = 64
+  val DefaultSeed = 42L
+
   /** Deterministic hyperplanes: coefficient (p,d) from a seeded Gaussian. */
   def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
     graft.functions.VecFunctions.hyperplanes(1, nBits, dim, seed)(0)
@@ -68,7 +74,8 @@ object Ann {
    * shuffle volume is bounded by bucket occupancy x probes.
    */
   def lshTopK(embeddings: DataFrame, queryIds: Seq[Long],
-              k: Int, nTables: Int = 8, nBits: Int = 8, dim: Int = 64): DataFrame = {
+              k: Int, nTables: Int = DefaultTables, nBits: Int = DefaultBits,
+              dim: Int = DefaultDim): DataFrame = {
     val corpus = withBuckets(embeddings, "embedding", nTables, nBits, dim)
     val queries = withBuckets(
       embeddings.where(col("vec_id").isin(queryIds: _*))

@@ -1,7 +1,6 @@
 package graft.cli
 
 import graft.rdf._
-import java.nio.file.{Files, Path, Paths}
 
 /**
  * CLI mirroring the reference's entry points (/root/reference/rdfx/rdfx_cli.py:155-216):
@@ -9,6 +8,10 @@ import java.nio.file.{Files, Path, Paths}
  *   convert <file-or-dir>... --format <fmt> [--output <dir>] [--comments c1,c2]
  *   merge   <file-or-dir>... --format <fmt> [--output <dir>] [--filename name]
  *   clean   <file>...
+ *
+ * Inputs and the output directory are Hadoop-FileSystem URIs: bare local
+ * paths, file://, s3a://, hdfs:// all flow through the same reader/writer
+ * (reference S3 parity, persistence_systems.py:216-309).
  *
  * Divergence from the reference (documented, SURVEY §7): convert honors
  * --output (the reference silently writes next to the input, rdfx_cli.py:69-71).
@@ -19,8 +22,8 @@ object Main {
     val method = args.head
     val rest = args.tail
     val opts = parseOpts(rest)
-    val inputs = opts.positional.map(Paths.get(_)).flatMap(RdfIo.prepareFilesList)
-    val outDir = Paths.get(opts.named.getOrElse("output", "."))
+    val inputs = opts.positional.flatMap(RdfIo.prepareFilesListUri)
+    val outDir = opts.named.getOrElse("output", ".")
     val fmt = opts.named.getOrElse("format", "ttl")
     val comments = opts.named.get("comments").map(_.split(",").toSeq).getOrElse(Nil)
     method match {
@@ -31,11 +34,11 @@ object Main {
         }
       case "merge" =>
         val name = opts.named.getOrElse("filename", "merged")
-        val out = GraphOps.merge(inputs, outDir, fmt, name, comments)
+        val out = GraphOps.mergeUris(inputs, outDir, fmt, name, comments)
         println(s"merged ${inputs.size} files -> $out")
       case "clean" =>
         inputs.foreach { f =>
-          val out = GraphOps.clean(f)
+          val out = GraphOps.clean(f, replicateReferenceBug = false)
           println(s"cleaned $f -> $out")
         }
       case other =>

@@ -42,26 +42,30 @@ object Extraction {
     import spark.implicits._
     val ac = new AhoCorasick(Gazetteer.surfaces)
     val bc = spark.sparkContext.broadcast((ac, Gazetteer.surfaces, Gazetteer.entityIds))
-    turns.mapPartitions { it =>
-      val (trie, surfaces, entityIds) = bc.value
-      val counts = new Array[Int](trie.numPatterns)
-      val firstPos = new Array[Int](trie.numPatterns)
-      it.flatMap { turn =>
-        val text = if (turn.text == null) "" else turn.text
-        trie.matchStats(text, counts, firstPos)
-        val out = ArrayBuffer.empty[Mention]
-        var idx = 0
-        while (idx < counts.length) {
-          if (counts(idx) > 0) {
-            val n = counts(idx).toLong
-            out += Mention(turn.conv_id, turn.turn_idx, entityIds(idx), surfaces(idx),
-              n, firstPos(idx).toLong, linkScore(n))
+    // project to the three consumed columns before the opaque pass (column
+    // pruning through typed mapPartitions is the caller's job, not Catalyst's)
+    turns.select(col("conv_id"), col("turn_idx"), col("text"))
+      .as[(String, Int, String)]
+      .mapPartitions { it =>
+        val (trie, surfaces, entityIds) = bc.value
+        val counts = new Array[Int](trie.numPatterns)
+        val firstPos = new Array[Int](trie.numPatterns)
+        it.flatMap { case (convId, turnIdx, turnText) =>
+          val text = if (turnText == null) "" else turnText
+          trie.matchStats(text, counts, firstPos)
+          val out = ArrayBuffer.empty[Mention]
+          var idx = 0
+          while (idx < counts.length) {
+            if (counts(idx) > 0) {
+              val n = counts(idx).toLong
+              out += Mention(convId, turnIdx, entityIds(idx), surfaces(idx),
+                n, firstPos(idx).toLong, linkScore(n))
+            }
+            idx += 1
           }
-          idx += 1
+          out
         }
-        out
       }
-    }
   }
 
   /**
@@ -78,12 +82,17 @@ object Extraction {
     import spark.implicits._
     val ac = new AhoCorasick(Gazetteer.surfaces)
     val bc = spark.sparkContext.broadcast((ac, Gazetteer.entityIds))
-    turns.mapPartitions { it =>
+    // Same-offset pairs depend on each turn's TEXT alone — project to the
+    // one needed column BEFORE the opaque mapPartitions so Catalyst prunes
+    // the rest of the row (a typed Dataset[Turn] pass would materialize
+    // conv/role/tool/ts per turn: wasted columns off a 100 TB scan, and at
+    // local[32] wasted allocations on the shared heap).
+    turns.select(col("text")).as[String].mapPartitions { it =>
       val (trie, entityIds) = bc.value
       val counts = new Array[Int](trie.numPatterns)
       val firstPos = new Array[Int](trie.numPatterns)
-      it.flatMap { turn =>
-        val text = if (turn.text == null) "" else turn.text
+      it.flatMap { turnText =>
+        val text = if (turnText == null) "" else turnText
         trie.matchStats(text, counts, firstPos)
         // same-offset pairs, found by a local O(k^2) sweep over the <=|gaz|
         // matched patterns of this turn (k is tiny and bounded)
@@ -244,18 +253,18 @@ object Extraction {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     val ac = new AhoCorasick(Gazetteer.surfaces)
     val bc = spark.sparkContext.broadcast((ac, Gazetteer.entityIds, canonMap))
-    turns.mapPartitions { it =>
+    slim(turns).mapPartitions { it =>
       val (trie, entityIds, canon) = bc.value
       val counts = new Array[Int](trie.numPatterns)
       val firstPos = new Array[Int](trie.numPatterns)
       val seen = scala.collection.mutable.HashSet.empty[String]
-      it.flatMap { turn =>
-        val convIri = "urn:conv:" + turn.conv_id
-        val turnIri = convIri + ":" + turn.turn_idx
+      it.flatMap { case (convId, turnIdx, role, turnText) =>
+        val convIri = "urn:conv:" + convId
+        val turnIri = convIri + ":" + turnIdx
         val out = ArrayBuffer.empty[(String, String, String, Int, String, Int)]
-        out += ((turnIri, "urn:graft:partOf", convIri, 0, turn.conv_id, turn.turn_idx))
-        out += ((turnIri, "urn:graft:role", turn.role, 2, turn.conv_id, turn.turn_idx))
-        val text = if (turn.text == null) "" else turn.text
+        out += ((turnIri, "urn:graft:partOf", convIri, 0, convId, turnIdx))
+        out += ((turnIri, "urn:graft:role", role, 2, convId, turnIdx))
+        val text = if (turnText == null) "" else turnText
         trie.matchStats(text, counts, firstPos)
         seen.clear()
         var i = 0
@@ -264,13 +273,22 @@ object Extraction {
             val c = canon.getOrElse(entityIds(i), entityIds(i))
             if (seen.add(c))
               out += ((convIri, "urn:graft:mentions", "urn:" + c, 0,
-                turn.conv_id, turn.turn_idx))
+                convId, turnIdx))
           }
           i += 1
         }
         out
       }
     }.toDF("s", "p", "o", "o_kind", "conv_id", "turn_idx")
+  }
+
+  /** The four columns the fused passes consume — projected before the
+    * opaque mapPartitions so the scan never materializes tool/ts. */
+  private def slim(turns: Dataset[Turn]): Dataset[(String, Int, String, String)] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.select(col("conv_id"), col("turn_idx"), col("role"), col("text"))
+      .as[(String, Int, String, String)]
   }
 
   /**
@@ -288,23 +306,23 @@ object Extraction {
     import spark.implicits._
     val ac = new AhoCorasick(Gazetteer.surfaces)
     val bc = spark.sparkContext.broadcast((ac, Gazetteer.entityIds))
-    val raw = turns.mapPartitions { it =>
+    val raw = slim(turns).mapPartitions { it =>
       val (trie, entityIds) = bc.value
       val counts = new Array[Int](trie.numPatterns)
       val firstPos = new Array[Int](trie.numPatterns)
-      it.flatMap { turn =>
-        val convIri = "urn:conv:" + turn.conv_id
-        val turnIri = convIri + ":" + turn.turn_idx
+      it.flatMap { case (convId, turnIdx, role, turnText) =>
+        val convIri = "urn:conv:" + convId
+        val turnIri = convIri + ":" + turnIdx
         val out = ArrayBuffer.empty[(String, String, String, Int, String, Int)]
-        out += ((turnIri, "urn:graft:partOf", convIri, 0, turn.conv_id, turn.turn_idx))
-        out += ((turnIri, "urn:graft:role", turn.role, 2, turn.conv_id, turn.turn_idx))
-        val text = if (turn.text == null) "" else turn.text
+        out += ((turnIri, "urn:graft:partOf", convIri, 0, convId, turnIdx))
+        out += ((turnIri, "urn:graft:role", role, 2, convId, turnIdx))
+        val text = if (turnText == null) "" else turnText
         trie.matchStats(text, counts, firstPos)
         var i = 0
         while (i < counts.length) {
           if (counts(i) > 0)
             out += ((convIri, "urn:graft:mentions", entityIds(i), 0,
-              turn.conv_id, turn.turn_idx))
+              convId, turnIdx))
           i += 1
         }
         out

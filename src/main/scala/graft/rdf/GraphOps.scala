@@ -8,8 +8,21 @@ import java.nio.file.{Path, Paths}
  * (/root/reference/rdfx/rdfx_cli.py): convert, merge, clean. These are the
  * small-file entry points; the distributed equivalents over Dataset[TripleRow]
  * live in graft.rdf.DistributedRdf (convert/merge at parquet scale).
+ *
+ * All paths are Hadoop-FileSystem URIs (file://, s3a://, hdfs://, bare local
+ * paths) — the reference's File and S3 persistence systems
+ * (persistence_systems.py:147-309) share this one code path. java.nio.Path
+ * overloads remain as a local-filesystem convenience seam.
  */
 object GraphOps {
+
+  private def baseName(uri: String): String =
+    new org.apache.hadoop.fs.Path(uri).getName
+
+  private def stemOf(name: String): String = {
+    val dot = name.lastIndexOf('.')
+    if (dot > 0) name.substring(0, dot) else name
+  }
 
   /**
    * convert (rdfx_cli.py:61-71): parse input (format inferred), serialize to
@@ -17,17 +30,19 @@ object GraphOps {
    * reference — which silently writes next to the input, ignoring the output
    * dir (rdfx_cli.py:69-71, a documented quirk) — this honors `outputDir`.
    */
+  def convert(inputUri: String, outputDirUri: String, outputFormatToken: String,
+              outputFilename: Option[String],
+              leadingComments: Seq[String]): String = {
+    val (_, g) = RdfIo.readFile(inputUri)
+    RdfIo.writeFile(g, outputDirUri, outputFilename.getOrElse(stemOf(baseName(inputUri))),
+      outputFormatToken, leadingComments)
+  }
+
   def convert(inputFile: Path, outputDir: Path, outputFormatToken: String,
               outputFilename: Option[String] = None,
-              leadingComments: Seq[String] = Nil): Path = {
-    val (_, g) = RdfIo.readFile(inputFile)
-    val stem = {
-      val n = inputFile.getFileName.toString
-      val dot = n.lastIndexOf('.')
-      if (dot > 0) n.substring(0, dot) else n
-    }
-    RdfIo.writeFile(g, outputDir, outputFilename.getOrElse(stem), outputFormatToken, leadingComments)
-  }
+              leadingComments: Seq[String] = Nil): Path =
+    Paths.get(convert(inputFile.toString, outputDir.toString, outputFormatToken,
+      outputFilename, leadingComments))
 
   /**
    * merge (rdfx_cli.py:74-94): parse N files into one graph — set-union, so
@@ -36,22 +51,28 @@ object GraphOps {
    * with fresh bnode ids — same observable behavior). Default output name
    * "merged" (rdfx_cli.py:199-202).
    */
-  def merge(files: Seq[Path], outputDir: Path, outputFormatToken: String,
-            outputFilename: String = "merged",
-            leadingComments: Seq[String] = Nil): Path = {
-    files.foreach { f =>
-      val name = f.getFileName.toString
+  def mergeUris(fileUris: Seq[String], outputDirUri: String, outputFormatToken: String,
+                outputFilename: String = "merged",
+                leadingComments: Seq[String] = Nil): String = {
+    fileUris.foreach { f =>
+      val name = baseName(f)
       val suffix = name.substring(name.lastIndexOf('.') + 1)
       if (!RdfFormat.fileEndings.exists(_._1 == suffix))
         throw new IllegalArgumentException(
           s"Files to be merged must end with a known RDF file extension, got: $name")
     }
-    val merged = files.zipWithIndex.map { case (f, i) =>
+    val merged = fileUris.zipWithIndex.map { case (f, i) =>
       val (_, g) = RdfIo.readFile(f)
       ParsedGraph(g.triples.map(saltBnodes(_, s"f$i")), g.prefixes)
     }.foldLeft(ParsedGraph.empty)(_ union _)
-    RdfIo.writeFile(merged, outputDir, outputFilename, outputFormatToken, leadingComments)
+    RdfIo.writeFile(merged, outputDirUri, outputFilename, outputFormatToken, leadingComments)
   }
+
+  def merge(files: Seq[Path], outputDir: Path, outputFormatToken: String,
+            outputFilename: String = "merged",
+            leadingComments: Seq[String] = Nil): Path =
+    Paths.get(mergeUris(files.map(_.toString), outputDir.toString, outputFormatToken,
+      outputFilename, leadingComments))
 
   private def saltBnodes(t: Triple, salt: String): Triple = {
     def f(term: RdfTerm): RdfTerm =
@@ -70,10 +91,8 @@ object GraphOps {
    * @prefix bindings disappear); `replicateReferenceBug = true` reproduces
    * the v0.4.11 behavior for strict parity runs.
    */
-  def clean(inputFile: Path, replicateReferenceBug: Boolean = false): Path = {
-    val doc = new String(java.nio.file.Files.readAllBytes(inputFile), "UTF-8")
-    val (comments, _) = RdfIo.scrapeComments(doc)
-    val g = TurtleCodec.parse(doc)
+  def clean(inputUri: String, replicateReferenceBug: Boolean): String = {
+    val (comments, g) = RdfIo.readFile(inputUri)
     val cleaned =
       if (replicateReferenceBug) g
       else {
@@ -84,10 +103,12 @@ object GraphOps {
         }
         ParsedGraph(g.triples, used)
       }
-    val dir = Option(inputFile.getParent).getOrElse(Paths.get("."))
-    val name = inputFile.getFileName.toString
-    val stem = if (name.contains('.')) name.substring(0, name.lastIndexOf('.')) else name
-    java.nio.file.Files.deleteIfExists(inputFile)
-    RdfIo.writeFile(cleaned, dir, stem, "turtle", comments)
+    val hp = new org.apache.hadoop.fs.Path(inputUri)
+    val dir = Option(hp.getParent).map(_.toString).getOrElse(".")
+    RdfIo.deleteFile(inputUri)
+    RdfIo.writeFile(cleaned, dir, stemOf(hp.getName), "turtle", comments)
   }
+
+  def clean(inputFile: Path, replicateReferenceBug: Boolean = false): Path =
+    Paths.get(clean(inputFile.toString, replicateReferenceBug))
 }

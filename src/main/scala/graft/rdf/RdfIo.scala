@@ -93,14 +93,41 @@ object RdfIo {
     } else (Nil, parse(doc, fmt))
   }
 
-  // -------------------------------------------------------- File system (S2)
+  // ------------------------------------------- File/S3/HDFS systems (S2, S3)
+  //
+  // All driver-side file IO goes through org.apache.hadoop.fs.FileSystem, so
+  // every URI scheme Hadoop supports (file://, s3a://, hdfs://, bare local
+  // paths) works through ONE code path — the reference's File and S3
+  // persistence systems (persistence_systems.py:147-309) collapse into it.
+  // The java.nio.Path overloads below delegate here (test/back-compat seam).
 
-  /** File read: infer format from extension, scrape comments when Turtle. */
-  def readFile(path: Path): (Seq[String], ParsedGraph) = {
-    val doc = new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
-    val fmt = RdfFormat.inferFromPath(path.toString)
+  private def hPath(uri: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(uri)
+
+  private def fsFor(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+
+  private def readBytes(uri: String): Array[Byte] = {
+    val p = hPath(uri)
+    val fs = fsFor(p)
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  /** File/S3/HDFS read by URI: infer format from extension, scrape comments when Turtle. */
+  def readFile(uri: String): (Seq[String], ParsedGraph) = {
+    val doc = new String(readBytes(uri), StandardCharsets.UTF_8)
+    val fmt = RdfFormat.inferFromPath(uri)
     readString(doc, fmt.token)
   }
+
+  def readFile(path: Path): (Seq[String], ParsedGraph) = readFile(path.toString)
 
   /**
    * File write: `{dir}/{filename}.{ext}`, normalizing the serializer tail so
@@ -108,41 +135,66 @@ object RdfIo {
    * the reference's trim (persistence_systems.py:207-209) reconciled with its
    * golden file bytes (tests/test_convert.py:39-53 pins the on-disk Turtle to
    * end ".\n\n"; the two are mutually inconsistent upstream, the frozen test
-   * strings win here).
+   * strings win here). `dirUri` may be any Hadoop-supported URI; the S3
+   * persistence system's put_object path (persistence_systems.py:283-305) is
+   * this same writer with an `s3a://` directory.
    */
-  def writeFile(g: ParsedGraph, dir: Path, filename: String, formatToken: String,
-                leadingComments: Seq[String] = Nil): Path = {
+  def writeFile(g: ParsedGraph, dirUri: String, filename: String, formatToken: String,
+                leadingComments: Seq[String]): String = {
     val ext = RdfFormat.outputFileEndings.getOrElse(formatToken, formatToken)
-    Files.createDirectories(dir)
-    val out = dir.resolve(s"$filename.$ext")
+    val dir = hPath(dirUri)
+    val fs = fsFor(dir)
+    fs.mkdirs(dir)
+    val out = new org.apache.hadoop.fs.Path(dir, s"$filename.$ext")
     var s = generateString(g, formatToken, leadingComments)
     while (s.endsWith("\n\n\n")) s = s.dropRight(1)
-    Files.write(out, s.getBytes(StandardCharsets.UTF_8))
-    out
+    val os = fs.create(out, true)
+    try os.write(s.getBytes(StandardCharsets.UTF_8)) finally os.close()
+    out.toString
   }
 
-  /** File existence check (S2 `exists`). */
-  def fileExists(path: Path): Boolean = Files.exists(path)
+  def writeFile(g: ParsedGraph, dir: Path, filename: String, formatToken: String,
+                leadingComments: Seq[String] = Nil): Path =
+    Paths.get(writeFile(g, dir.toString, filename, formatToken, leadingComments))
+
+  /** Existence check (S2/S3 `exists` = path-exists / head_object). */
+  def fileExists(uri: String): Boolean = {
+    val p = hPath(uri)
+    fsFor(p).exists(p)
+  }
+
+  def fileExists(path: Path): Boolean = fileExists(path.toString)
+
+  /** Delete by URI (used by `clean`'s rewrite-in-place). */
+  def deleteFile(uri: String): Boolean = {
+    val p = hPath(uri)
+    fsFor(p).delete(p, false)
+  }
 
   // ------------------------------------------------------- file-list expansion
 
   /**
-   * `prepare_files_list` (persistence_systems.py:868-885): str/Path/dir →
+   * `prepare_files_list` (persistence_systems.py:868-885): file/dir URI →
    * flat list; directories globbed per RDF suffix, iterating suffix keys in
    * the reference's pinned dict order (fixture:
    * test_persistence_systems_generic_methods.py:118-135).
    */
-  def prepareFilesList(path: Path): Seq[Path] = {
-    if (Files.isDirectory(path)) {
-      val entries = {
-        val s = Files.list(path)
-        try s.iterator().asScala.toVector finally s.close()
-      }
+  def prepareFilesListUri(uri: String): Seq[String] = {
+    val p = hPath(uri)
+    val fs = fsFor(p)
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(s"No such file or directory: $uri")
+    if (fs.getFileStatus(p).isDirectory) {
+      val entries = fs.listStatus(p).toVector.filter(_.isFile).map(_.getPath)
       RdfFormat.fileEndings.flatMap { case (suffix, _) =>
-        entries.filter(p => p.getFileName.toString.endsWith("." + suffix))
-          .sortBy(_.getFileName.toString)
-      }
-    } else if (Files.exists(path)) Seq(path)
-    else throw new IllegalArgumentException(s"No such file or directory: $path")
+        entries.filter(_.getName.endsWith("." + suffix)).sortBy(_.getName)
+      }.map(_.toString)
+    } else Seq(uri)
   }
+
+  def prepareFilesList(path: Path): Seq[Path] =
+    // listStatus returns scheme-qualified URIs (file:/...); strip to a
+    // filesystem path for the java.nio seam
+    prepareFilesListUri(path.toString)
+      .map(s => Paths.get(new org.apache.hadoop.fs.Path(s).toUri.getPath))
 }

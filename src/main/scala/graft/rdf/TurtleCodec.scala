@@ -215,10 +215,39 @@ object TurtleCodec {
       resolve(raw)
     }
 
-    private def resolve(iri: String): String =
-      if (iri.contains(":") || base.isEmpty) iri
-      else if (iri.startsWith("#")) base + iri
-      else base + iri // minimal relative resolution; fixtures use absolute IRIs
+    /** Minimal RFC 3986 relative resolution against @base (fragment, query,
+      * absolute-path, and relative-path references; no dot-segment pass —
+      * fixtures and real-world Turtle use none). */
+    private def resolve(iri: String): String = {
+      val hasScheme = iri.indexOf(':') match {
+        case -1 => false
+        case i  => iri.substring(0, i).forall(c => c.isLetterOrDigit || c == '+' || c == '-' || c == '.') &&
+                   iri.nonEmpty && iri.charAt(0).isLetter && i > 0
+      }
+      if (hasScheme || base.isEmpty) iri
+      else if (iri.isEmpty) base
+      else if (iri.startsWith("#") || iri.startsWith("?")) {
+        val cut = base.indexOf(if (iri.startsWith("#")) '#' else '?')
+        (if (cut >= 0) base.substring(0, cut) else base) + iri
+      } else if (iri.startsWith("//")) {
+        val scheme = base.substring(0, base.indexOf(':') + 1)
+        scheme + iri
+      } else if (iri.startsWith("/")) {
+        // scheme + authority of base
+        val schemeEnd = base.indexOf("://")
+        if (schemeEnd < 0) base + iri
+        else {
+          val authEnd = base.indexOf('/', schemeEnd + 3)
+          (if (authEnd < 0) base else base.substring(0, authEnd)) + iri
+        }
+      } else {
+        // relative path: replace everything after the last '/' of base's path
+        val slash = base.lastIndexOf('/')
+        val schemeEnd = base.indexOf("://")
+        if (slash > (if (schemeEnd < 0) 0 else schemeEnd + 2)) base.substring(0, slash + 1) + iri
+        else base + "/" + iri
+      }
+    }
 
     private def freshBnode(): RdfTerm = {
       bnodeCounter += 1
@@ -328,14 +357,27 @@ object TurtleCodec {
         if (pos >= doc.length || doc.charAt(pos) != ':') err("expected prefixed name")
         val prefix = doc.substring(start, pos)
         pos += 1
-        val localStart = pos
-        while (pos < doc.length && (doc.charAt(pos).isLetterOrDigit ||
-               doc.charAt(pos) == '_' || doc.charAt(pos) == '-' ||
-               (doc.charAt(pos) == '.' && pos + 1 < doc.length &&
-                (doc.charAt(pos + 1).isLetterOrDigit || doc.charAt(pos + 1) == '_')))) pos += 1
-        val local = doc.substring(localStart, pos)
+        // PN_LOCAL with the W3C escape forms: '\x' escapes the PN_LOCAL_ESC
+        // punctuation set (the raw char enters the IRI), '%XX' percent
+        // sequences pass through verbatim (W3C Turtle 2.1 §6.5)
+        val local = new StringBuilder
+        var go = true
+        while (go && pos < doc.length) {
+          val c = doc.charAt(pos)
+          if (c == '\\' && pos + 1 < doc.length &&
+              "_~.-!$&'()*+,;=/?#@%".indexOf(doc.charAt(pos + 1)) >= 0) {
+            local.append(doc.charAt(pos + 1)); pos += 2
+          } else if (c == '%' && pos + 2 < doc.length &&
+                     isHex(doc.charAt(pos + 1)) && isHex(doc.charAt(pos + 2))) {
+            local.append(doc.substring(pos, pos + 3)); pos += 3
+          } else if (c.isLetterOrDigit || c == '_' || c == '-' ||
+                     (c == '.' && pos + 1 < doc.length &&
+                      (doc.charAt(pos + 1).isLetterOrDigit || doc.charAt(pos + 1) == '_'))) {
+            local.append(c); pos += 1
+          } else go = false
+        }
         prefixes.get(prefix) match {
-          case Some(ns) => RdfTerm.iri(ns + local)
+          case Some(ns) => RdfTerm.iri(ns + local.result())
           case None => err(s"undefined prefix '$prefix:'")
         }
       }
@@ -375,6 +417,9 @@ object TurtleCodec {
       while (j >= 0 && doc.charAt(j) == '\\') { n += 1; j -= 1 }
       n % 2 == 1
     }
+
+    private def isHex(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
 
     private def parseNumber(): RdfTerm = {
       val start = pos

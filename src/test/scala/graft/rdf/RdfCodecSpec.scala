@@ -195,6 +195,27 @@ class RdfCodecSpec extends AnyFunSuite {
     assert(viaJson.triples.toSet == ttl.triples.toSet)
   }
 
+  test("convert/merge accept file:// URIs through the Hadoop-FileSystem path (S3 parity)") {
+    val tmp = Files.createTempDirectory("grafturi")
+    val in = tmp.resolve("file_01.ttl")
+    Files.write(in, fixtureTtl.getBytes("UTF-8"))
+    val inUri = "file://" + in.toAbsolutePath
+    val outDirUri = "file://" + tmp.toAbsolutePath
+    // file-list expansion over a URI directory
+    val listed = RdfIo.prepareFilesListUri(outDirUri)
+    assert(listed.size == 1 && listed.head.endsWith("file_01.ttl"))
+    // convert by URI — same writer path as s3a://
+    val outUri = GraphOps.convert(inUri, outDirUri, "nt", Some("viaUri"), Nil)
+    assert(RdfIo.fileExists(outUri))
+    val nt = new String(Files.readAllBytes(tmp.resolve("viaUri.nt")), "UTF-8")
+    assert(nt.split("\n").filter(_.nonEmpty).toSet == expectedNtLines)
+    // merge by URI
+    val mergedUri = GraphOps.mergeUris(Seq(inUri, inUri), outDirUri, "nt")
+    assert(mergedUri.endsWith("merged.nt"))
+    val merged = NtCodec.parse(new String(Files.readAllBytes(tmp.resolve("merged.nt")), "UTF-8"))
+    assert(merged.triples.size == 6) // identical file twice: set union collapses
+  }
+
   test("merge: set union dedups across files (rdfx_cli.py:74-94; SOP len==6 fixture)") {
     val tmp = Files.createTempDirectory("graftmerge")
     val two = "<urn:a> <urn:b> <urn:c> .\n<urn:a> <urn:d> <urn:e> .\n"

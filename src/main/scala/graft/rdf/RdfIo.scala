@@ -146,8 +146,7 @@ object RdfIo {
     val fs = fsFor(dir)
     fs.mkdirs(dir)
     val out = new org.apache.hadoop.fs.Path(dir, s"$filename.$ext")
-    var s = generateString(g, formatToken, leadingComments)
-    while (s.endsWith("\n\n\n")) s = s.dropRight(1)
+    val s = normalizeTail(generateString(g, formatToken, leadingComments))
     val os = fs.create(out, true)
     try os.write(s.getBytes(StandardCharsets.UTF_8)) finally os.close()
     out.toString
@@ -164,6 +163,14 @@ object RdfIo {
   }
 
   def fileExists(path: Path): Boolean = fileExists(path.toString)
+
+  /** Serializer-tail normalization shared by every file writer: the file
+    * ends with at most one blank line (see writeFile Scaladoc). */
+  def normalizeTail(doc: String): String = {
+    var s = doc
+    while (s.endsWith("\n\n\n")) s = s.dropRight(1)
+    s
+  }
 
   /** Delete by URI (used by `clean`'s rewrite-in-place). */
   def deleteFile(uri: String): Boolean = {

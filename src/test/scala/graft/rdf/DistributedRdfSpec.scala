@@ -27,6 +27,31 @@ class DistributedRdfSpec extends AnyFunSuite {
     assert(rows.forall(_.s_kind == graft.model.TermKind.BNode))
   }
 
+  test("per-graph Turtle/JSON-LD shards are byte-equal to the driver-side codec output") {
+    import graft.model._
+    import spark.implicits._
+    val g1 = (0 until 5).map(i =>
+      ("urn:g1", s"http://ex.org/s$i", 0, "http://ex.org/p", s"v$i", 2, null: String, null: String))
+    val g2 = (0 until 3).map(i =>
+      ("urn:g2", s"http://ex.org/t$i", 0, "http://ex.org/p", s"http://ex.org/o$i", 0, null: String, null: String))
+    val df = (g1 ++ g2).toDF("graph_iri", "s", "s_kind", "p", "o", "o_kind", "o_dtype", "o_lang")
+      .repartition(4) // scatter rows: the writer must re-co-locate by graph
+    for (fmt <- Seq(RdfFormat.Turtle, RdfFormat.JsonLd)) {
+      val dir = Files.createTempDirectory(s"graftshard${fmt.token}")
+      val n = DistributedRdf.writeDocsByGraph(df, dir.toString, fmt)
+      assert(n == 2)
+      for ((iri, rows) <- Seq("urn:g1" -> g1, "urn:g2" -> g2)) {
+        val ext = RdfFormat.outputFileEndings(fmt.token)
+        val got = new String(Files.readAllBytes(
+          dir.resolve(java.net.URLEncoder.encode(iri, "UTF-8") + "." + ext)), StandardCharsets.UTF_8)
+        val expected = RdfIo.normalizeTail(RdfIo.serialize(ParsedGraph(
+          rows.map(r => TripleRow(r._2, r._3, r._4, r._5, r._6, r._7, r._8).asTriple).toVector,
+          Map.empty), fmt))
+        assert(got == expected, s"$iri as ${fmt.token}")
+      }
+    }
+  }
+
   test("readNt single file still parses every line") {
     val dir = Files.createTempDirectory("graftnt1")
     val nt = (0 until 100).map(i => s"<http://ex/s$i> <http://ex/p> \"$i\" .").mkString("\n")

@@ -113,6 +113,41 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
    * 10^6-turn/s rates, and GC pause time is an Amdahl serial term that caps
    * scaling efficiency.
    */
+  /**
+   * Byte-level twin of [[matchStats]] over UTF-8 bytes: ASCII bytes drive
+   * the same DFA; any byte >= 0x80 (UTF-8 lead/continuation) resets to the
+   * root, exactly as non-ASCII chars do in the char path — ASCII patterns
+   * can never span them. Offsets are BYTE offsets: within one text,
+   * byte-offset equality <=> char-offset equality (identical prefix), and
+   * byte-offset order matches char-offset order, so the same-offset edge
+   * semantics and min-first-pos are preserved exactly. The win: the caller
+   * can feed `encode(text, 'UTF-8')` binary straight from Tungsten rows —
+   * no per-row UTF-16 decode, half the copied bytes, one fewer object —
+   * which matters because allocation rate is what caps N->4N scaling on a
+   * shared heap (BENCH.md).
+   */
+  def matchStatsBytes(bytes: Array[Byte], counts: Array[Int], firstPos: Array[Int]): Unit = {
+    java.util.Arrays.fill(counts, 0)
+    java.util.Arrays.fill(firstPos, Int.MaxValue)
+    val a = dfa
+    var state = 0
+    var i = 0
+    while (i < bytes.length) {
+      val c = bytes(i) & 0xff
+      state = if (c < Alpha) a.goto(state * Alpha + c) else 0
+      val outs = a.out(state)
+      var k = 0
+      while (k < outs.length) {
+        val idx = outs(k)
+        counts(idx) += 1
+        val start = i - patterns(idx).length + 1
+        if (start < firstPos(idx)) firstPos(idx) = start
+        k += 1
+      }
+      i += 1
+    }
+  }
+
   def matchStats(text: String, counts: Array[Int], firstPos: Array[Int]): Unit = {
     java.util.Arrays.fill(counts, 0)
     java.util.Arrays.fill(firstPos, Int.MaxValue)

@@ -86,14 +86,17 @@ object Extraction {
     // one needed column BEFORE the opaque mapPartitions so Catalyst prunes
     // the rest of the row (a typed Dataset[Turn] pass would materialize
     // conv/role/tool/ts per turn: wasted columns off a 100 TB scan, and at
-    // local[32] wasted allocations on the shared heap).
-    turns.select(col("text")).as[String].mapPartitions { it =>
+    // local[32] wasted allocations on the shared heap). The projection is
+    // `encode(text, UTF-8)` so the DFA runs over raw UTF-8 bytes — no
+    // per-turn UTF-16 decode (see AhoCorasick.matchStatsBytes).
+    turns.select(encode(col("text"), "UTF-8")).as[Array[Byte]].mapPartitions { it =>
       val (trie, entityIds) = bc.value
       val counts = new Array[Int](trie.numPatterns)
       val firstPos = new Array[Int](trie.numPatterns)
+      val empty = Array.emptyByteArray
       it.flatMap { turnText =>
-        val text = if (turnText == null) "" else turnText
-        trie.matchStats(text, counts, firstPos)
+        val text = if (turnText == null) empty else turnText
+        trie.matchStatsBytes(text, counts, firstPos)
         // same-offset pairs, found by a local O(k^2) sweep over the <=|gaz|
         // matched patterns of this turn (k is tiny and bounded)
         val pairs = ArrayBuffer.empty[(String, String)]
@@ -264,8 +267,8 @@ object Extraction {
         val out = ArrayBuffer.empty[(String, String, String, Int, String, Int)]
         out += ((turnIri, "urn:graft:partOf", convIri, 0, convId, turnIdx))
         out += ((turnIri, "urn:graft:role", role, 2, convId, turnIdx))
-        val text = if (turnText == null) "" else turnText
-        trie.matchStats(text, counts, firstPos)
+        val text = if (turnText == null) Array.emptyByteArray else turnText
+        trie.matchStatsBytes(text, counts, firstPos)
         seen.clear()
         var i = 0
         while (i < counts.length) {
@@ -283,12 +286,13 @@ object Extraction {
   }
 
   /** The four columns the fused passes consume — projected before the
-    * opaque mapPartitions so the scan never materializes tool/ts. */
-  private def slim(turns: Dataset[Turn]): Dataset[(String, Int, String, String)] = {
+    * opaque mapPartitions so the scan never materializes tool/ts, with the
+    * text pre-encoded to UTF-8 bytes for the byte-level DFA. */
+  private def slim(turns: Dataset[Turn]): Dataset[(String, Int, String, Array[Byte])] = {
     val spark = turns.sparkSession
     import spark.implicits._
-    turns.select(col("conv_id"), col("turn_idx"), col("role"), col("text"))
-      .as[(String, Int, String, String)]
+    turns.select(col("conv_id"), col("turn_idx"), col("role"), encode(col("text"), "UTF-8"))
+      .as[(String, Int, String, Array[Byte])]
   }
 
   /**
@@ -316,8 +320,8 @@ object Extraction {
         val out = ArrayBuffer.empty[(String, String, String, Int, String, Int)]
         out += ((turnIri, "urn:graft:partOf", convIri, 0, convId, turnIdx))
         out += ((turnIri, "urn:graft:role", role, 2, convId, turnIdx))
-        val text = if (turnText == null) "" else turnText
-        trie.matchStats(text, counts, firstPos)
+        val text = if (turnText == null) Array.emptyByteArray else turnText
+        trie.matchStatsBytes(text, counts, firstPos)
         var i = 0
         while (i < counts.length) {
           if (counts(i) > 0)

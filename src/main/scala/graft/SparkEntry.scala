@@ -252,6 +252,15 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) =>
       Ann.lshTopK(table(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)),
 
+    // ---- IVF ANN (coarse-quantizer cells + nProbe multi-probe; the
+    // billion-vector layout whose cell key partitions the index table)
+    "q_ann_ivf" -> ((s, dir) =>
+      Ann.ivfTopK(table(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+
+    // ---- embedding near-dup blocked by the LSH index itself (no label needed)
+    "q_embed_dups_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupsLsh(table(s, dir, "embeddings"), 0.3)),
+
     // ---- text analysis
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScores(docs(s, dir))),
@@ -374,7 +383,9 @@ object SparkEntry {
    * approximate). Buckets, 1-bit multi-probe, candidate dedup and the
    * round-6 cosine re-rank are then plain SQL, mirroring Ann.lshTopK.
    */
-  private def annLshOracle: String = {
+  /** Shared CTE prelude: per-(vector, table) hyperplane-LSH bucket ids,
+    * with the seeded hyperplanes embedded as literals. */
+  private def lshSigsCte: String = {
     import graft.ops.Ann.{DefaultBits, DefaultDim, DefaultSeed, DefaultTables}
     val planes = graft.functions.VecFunctions.hyperplanes(
       DefaultTables, DefaultBits, DefaultDim, DefaultSeed)
@@ -391,7 +402,12 @@ object SparkEntry {
        |             THEN (1 << p.bit) ELSE 0 END) AS INT) AS bucket
        |  FROM vecs v CROSS JOIN planes p
        |  GROUP BY v.vec_id, p.tbl
-       |),
+       |)""".stripMargin
+  }
+
+  private def annLshOracle: String = {
+    import graft.ops.Ann.DefaultBits
+    s"""$lshSigsCte,
        |qsigs AS (SELECT vec_id AS query_id, tbl, bucket FROM sigs
        |          WHERE vec_id IN (0, 1, 2, 3, 4)),
        |probes AS (
@@ -400,6 +416,7 @@ object SparkEntry {
        |  SELECT query_id, tbl, CAST(xor(bucket, 1 << b.b) AS INT)
        |  FROM qsigs, (SELECT unnest(range($DefaultBits)) AS b) b
        |),
+       |
        |cands AS (
        |  SELECT DISTINCT p.query_id, s.vec_id
        |  FROM probes p JOIN sigs s ON s.tbl = p.tbl AND s.bucket = p.bucket
@@ -420,8 +437,71 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10""".stripMargin
   }
 
+  /**
+   * IVF oracle: seeded centroid literals; cell assignment = rank-1 of the
+   * ROUND-6 cosine (matching the Spark kernel's pre-rank rounding, so the
+   * argmax is engine-exact); probes = rank<=nProbe for the query set; exact
+   * round-6 re-rank inside probed cells.
+   */
+  private def annIvfOracle: String = {
+    import graft.ops.Ann.{DefaultDim, IvfCells, IvfProbes, IvfSeed}
+    val cents = graft.functions.VecFunctions.ivfCentroids(IvfCells, DefaultDim, IvfSeed)
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.map(java.lang.Double.toString).mkString("[", ", ", "]")})"
+    }.mkString(",\n  ")
+    s"""WITH cents(cell, c) AS (VALUES
+       |  $rows),
+       |vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cellscore AS (
+       |  SELECT v.vec_id, ct.cell, round(list_cosine_similarity(ct.c, v.e), 6) AS cc
+       |  FROM vecs v CROSS JOIN cents ct
+       |),
+       |ranked AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS r
+       |  FROM cellscore
+       |),
+       |corpus AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM ranked
+       |           WHERE r <= $IvfProbes AND vec_id IN (0, 1, 2, 3, 4)),
+       |cands AS (
+       |  SELECT p.query_id, c.vec_id
+       |  FROM probes p JOIN corpus c ON c.cell = p.cell
+       |  WHERE c.vec_id <> p.query_id
+       |),
+       |scored AS (
+       |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(q.e, v.e), 6) AS cos
+       |  FROM cands cd
+       |  JOIN vecs q ON q.vec_id = cd.query_id
+       |  JOIN vecs v ON v.vec_id = cd.vec_id
+       |),
+       |rr AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, cos, rank FROM rr WHERE rank <= 10""".stripMargin
+  }
+
+  private def embedDupsLshOracle(threshold: Double): String =
+    s"""$lshSigsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |  WHERE a.vec_id < b.vec_id
+       |)
+       |SELECT p.vec_a, p.vec_b,
+       |  round(list_cosine_similarity(qa.e, qb.e), 6) AS cos
+       |FROM pairs p
+       |JOIN vecs qa ON qa.vec_id = p.vec_a
+       |JOIN vecs qb ON qb.vec_id = p.vec_b
+       |WHERE round(list_cosine_similarity(qa.e, qb.e), 6) >= $threshold""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> annLshOracle,
+    "q_ann_ivf" -> annIvfOracle,
+    "q_embed_dups_lsh" -> embedDupsLshOracle(0.3),
     "q_transcripts" -> Transcripts.oracleSql,
 
     "q_kg_mentions" -> mentionsSql,

@@ -65,6 +65,53 @@ object VecFunctions {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** IVF coarse-quantizer centroids: same seeded-Gaussian generator as the
+    * LSH hyperplanes, different seed family. */
+  def ivfCentroids(nCells: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    hyperplanes(1, nCells, dim, seed)(0)
+
+  /**
+   * The `nProbe` IVF cells nearest to `v` by cosine (rounded to 6 dp before
+   * ranking so cell assignment is engine-portable: the SQL oracle ranks
+   * round(list_cosine_similarity(centroid, vec), 6) identically), ties by
+   * cell id. Per-accumulator fold order matches [[cosineFloat]] /
+   * list_cosine_similarity, so the rounded values are bit-identical.
+   */
+  def ivfCellsFor(v: ArrayData, cents: Array[Array[Double]], nProbe: Int): ArrayData = {
+    val n = v.numElements()
+    val k = cents.length
+    var nb = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; nb += x * x; i += 1 }
+    val nbs = math.sqrt(nb)
+    val cos = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val ct = cents(c)
+      var dot = 0.0; var na = 0.0
+      var j = 0
+      val lim = math.min(ct.length, n)
+      while (j < lim) { dot += ct(j) * v.getFloat(j); na += ct(j) * ct(j); j += 1 }
+      cos(c) = math.rint(dot / (math.sqrt(na) * nbs) * 1e6) / 1e6
+      c += 1
+    }
+    val out = new Array[Int](math.min(nProbe, k))
+    val used = new Array[Boolean](k)
+    var p = 0
+    while (p < out.length) {
+      var best = -1
+      var c2 = 0
+      while (c2 < k) {
+        if (!used(c2) && (best < 0 || cos(c2) > cos(best))) best = c2
+        c2 += 1
+      }
+      used(best) = true
+      out(p) = best
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   private val eu = org.apache.spark.sql.graftbridge.ColumnBridge
 
   /** Cosine similarity of two `array<float>` columns — native, codegen'd. */
@@ -74,6 +121,10 @@ object VecFunctions {
   /** nTables hyperplane-LSH bucket ids for an `array<float>` column. */
   def lsh_buckets(v: Column, nTables: Int, nBits: Int, dim: Int, seed: Long = 42L): Column =
     eu.column(HyperplaneBuckets(eu.expression(v), nTables, nBits, dim, seed))
+
+  /** The nProbe nearest IVF cell ids for an `array<float>` column — native, codegen'd. */
+  def ivf_cells(v: Column, nCells: Int, nProbe: Int, dim: Int, seed: Long): Column =
+    eu.column(IvfCells(eu.expression(v), nCells, nProbe, dim, seed))
 }
 
 /** Cosine similarity of two float-array columns — native codegen'd expression. */
@@ -94,6 +145,28 @@ case class CosineF(left: Expression, right: Expression) extends BinaryExpression
  * query because Catalyst re-evaluates the projection in the generator's
  * null/empty Filter guard.
  */
+/**
+ * Nearest-IVF-cells of a float-array column (coarse quantizer for the IVF
+ * ANN path) — native codegen'd expression, same shape and rationale as
+ * [[HyperplaneBuckets]] (a ScalaUDF here pays ~0.85 ms/call conversion and
+ * is re-evaluated by the generator null-guard).
+ */
+case class IvfCells(child: Expression, nCells: Int, nProbe: Int, dim: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  @transient private lazy val cents: Array[Array[Double]] =
+    VecFunctions.ivfCentroids(nCells, dim, seed)
+  override protected def nullSafeEval(v: Any): Any =
+    VecFunctions.ivfCellsFor(v.asInstanceOf[ArrayData], cents, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecFunctions.ivfCellsFor($c, $ref, $nProbe)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): IvfCells =
+    copy(child = newChild)
+}
+
 case class HyperplaneBuckets(child: Expression, nTables: Int, nBits: Int, dim: Int, seed: Long)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.types.{ArrayType, IntegerType}

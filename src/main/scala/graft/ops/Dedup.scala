@@ -223,4 +223,31 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
+
+  /**
+   * Embedding near-dup at scale: the blocker is the LSH index itself —
+   * candidate pairs share a (table, bucket) hyperplane-LSH cell, so the
+   * self-join key is the bucket and shuffle volume is bounded by bucket
+   * occupancy, never all-pairs (the label-blocked variant above needs a
+   * trusted coarse label; this one does not). Same hyperplane family as
+   * [[graft.ops.Ann.lshTopK]]. Emits distinct (vec_a < vec_b) pairs with
+   * round-6 cosine >= threshold.
+   */
+  def embeddingNearDupsLsh(embeddings: DataFrame, threshold: Double,
+                           nTables: Int = graft.ops.Ann.DefaultTables,
+                           nBits: Int = graft.ops.Ann.DefaultBits,
+                           dim: Int = graft.ops.Ann.DefaultDim): DataFrame = {
+    def bucketed(idCol: String, vecCol: String) =
+      embeddings.select(col("vec_id").as(idCol), col("embedding").as(vecCol),
+        posexplode(graft.functions.VecFunctions.lsh_buckets(col("embedding"), nTables, nBits, dim))
+          .as(Seq("table", "bucket")))
+    bucketed("vec_a", "ea").join(bucketed("vec_b", "eb"), Seq("table", "bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b", "ea", "eb")
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cos", round(
+        graft.functions.VecFunctions.cosine_f(col("ea"), col("eb")), 6))
+      .where(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
 }

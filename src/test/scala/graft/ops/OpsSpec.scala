@@ -111,6 +111,28 @@ class OpsSpec extends AnyFunSuite {
     assert(mean >= 0.6, s"mean recall $mean, per-query $recalls")
   }
 
+  test("IVF ANN achieves >= 0.6 recall@10 vs brute force on real embeddings") {
+    val queryIds = Seq(0L, 1L, 2L, 3L, 4L)
+    val brute = Ann.bruteForceTopK(embeddings, queryIds, 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivf = Ann.ivfTopK(embeddings, queryIds, 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = queryIds.map { q =>
+      val b = brute(q)
+      ivf.get(q).map(l => (l intersect b).size.toDouble / b.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall $mean, per-query $recalls")
+  }
+
+  test("LSH-blocked embedding near-dups: distinct ordered pairs, all above threshold") {
+    val got = Dedup.embeddingNearDupsLsh(embeddings, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b, c) => a < b && c >= 0.3 })
+    assert(got.map(t => (t._1, t._2)).distinct.length == got.length)
+  }
+
   test("multimodal: synthesized payloads are 16 md5 bytes; stub features are deterministic") {
     val assets = Multimodal.synthesizeAssets(spark, docs)
     val feats1 = Multimodal.extractFeatures(assets).collect().sortBy(_.doc_id)

@@ -230,12 +230,17 @@ object SparkEntry {
     // ---- MinHash-LSH candidate pairs (band bucket aggregate)
     "q_lsh_pairs" -> ((s, dir) => lshPairsDf(s, dir)),
 
-    // ---- n-gram (bigram) Jaccard over LSH candidates. The pairs table is
-    // the memoized stage artifact: the Jaccard plan references it three
-    // times (intersection join + zero-intersection left join + base), and
-    // a dedup pipeline materializes candidates between stages anyway.
+    // ---- n-gram (bigram) Jaccard over LSH candidates. Both the pairs
+    // table AND the member-shingle table are memoized stage artifacts: the
+    // Jaccard plan references each several times, and a dedup pipeline
+    // materializes candidates between stages anyway.
     "q_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(docs(s, dir), lshPairsDf(s, dir))),
+      Dedup.ngramJaccardFromShingles(
+        cached(s, dir, "member_shingles") {
+          Dedup.bigramShingles(docs(s, dir)
+            .join(Dedup.pairMembers(lshPairsDf(s, dir)), Seq("doc_id"), "leftsemi"))
+        },
+        lshPairsDf(s, dir))),
 
     // ---- SimHash (bit-majority sketch)
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),

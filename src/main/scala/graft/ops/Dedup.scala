@@ -176,11 +176,23 @@ object Dedup {
    * the shingle table three times — would dominate the stage for rows that
    * can never reach the output.
    */
-  def ngramJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val members = pairs.select(col("doc_a").as("doc_id"))
+  /** Pair-member doc ids (both sides of the candidate pairs). */
+  def pairMembers(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
-    val sh = bigramShingles(docs.join(members, Seq("doc_id"), "leftsemi"))
+
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame): DataFrame =
+    ngramJaccardFromShingles(
+      bigramShingles(docs.join(pairMembers(pairs), Seq("doc_id"), "leftsemi")), pairs)
+
+  /**
+   * Jaccard over a prebuilt member-shingle table — the plan references it
+   * three times (two intersection joins + the size aggregate), so callers
+   * that already materialize stage artifacts should persist it once and
+   * pass it here instead of re-exploding per reference.
+   */
+  def ngramJaccardFromShingles(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")

@@ -77,11 +77,30 @@ class VecFunctionsSpec extends AnyFunSuite {
     val df = randVecs(5, 8, 1L).toDF("id", "v").repartition(2)
     val q = df.select(
       VecFunctions.cosine_f(col("v"), col("v")),
-      VecFunctions.lsh_buckets(col("v"), 2, 4, 8))
+      VecFunctions.lsh_buckets(col("v"), 2, 4, 8),
+      VecFunctions.ivf_cells(col("v"), 4, 2, 8, 7L))
     q.collect()
     val plan = q.queryExecution.executedPlan.toString()
     // "*(n)" is the WholeStageCodegen marker in the compact plan string
     assert(plan.contains("*(1) Project [cosinef"), plan)
     assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("ivf_cells matches a driver-side recomputation of the same centroids") {
+    import spark.implicits._
+    val vecs = randVecs(20, 8, 3L)
+    val got = vecs.toDF("id", "v")
+      .select(col("id"), VecFunctions.ivf_cells(col("v"), 4, 2, 8, 7L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val cents = VecFunctions.ivfCentroids(4, 8, 7L)
+    vecs.foreach { case (id, v) =>
+      def cos(c: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        for (i <- v.indices) { dot += c(i) * v(i); na += c(i) * c(i); nb += v(i).toDouble * v(i) }
+        math.rint(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+      }
+      val expected = cents.indices.sortBy(i => (-cos(cents(i)), i)).take(2)
+      assert(got(id) == expected, s"vec $id")
+    }
   }
 }

@@ -34,6 +34,10 @@ trait GraphCatalog {
   def write(graphIri: String, triples: DataFrame, overwrite: Boolean = true,
             leadingComments: Seq[String] = Nil): Long
   def read(graphIri: String): (Seq[String], DataFrame)
+  /** Iceberg-style time travel: read a specific committed snapshot. */
+  def readAt(graphIri: String, snapshotId: Long): (Seq[String], DataFrame)
+  /** Committed snapshot ids for a graph, ascending. */
+  def snapshots(graphIri: String): Seq[Long]
   def exists(graphIri: String): Boolean
   def ask(graphIri: String): Boolean
   def count(graphIri: String): Long
@@ -149,6 +153,10 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
   def read(graphIri: String): (Seq[String], DataFrame) = {
     val manifest = latestSnapshot(graphIri).getOrElse(
       throw new IllegalArgumentException(s"No such graph: $graphIri"))
+    readManifest(manifest)
+  }
+
+  private def readManifest(manifest: Path): (Seq[String], DataFrame) = {
     val m = parseManifest(manifest)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val comments = {
@@ -158,6 +166,31 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
       else Nil
     }
     (comments, spark.read.parquet(m("path")))
+  }
+
+  /** Time travel: every snapshot's data dir and manifest are immutable
+    * once committed, so any historical snapshot id reads consistently —
+    * the Iceberg semantic the ParquetSnapshotFormat stands in for. */
+  def readAt(graphIri: String, snapshotId: Long): (Seq[String], DataFrame) = {
+    val p = snapDir.resolve(f"${enc(graphIri)}.$snapshotId%09d.json")
+    if (!Files.exists(p))
+      throw new IllegalArgumentException(s"No snapshot $snapshotId for graph: $graphIri")
+    readManifest(p)
+  }
+
+  def snapshots(graphIri: String): Seq[Long] = {
+    val pat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(enc(graphIri)) + "\\.(\\d{9})\\.json")
+    val files =
+      if (!Files.isDirectory(snapDir)) Vector.empty
+      else {
+        val s = Files.list(snapDir)
+        try s.iterator().asScala.toVector finally s.close()
+      }
+    files.flatMap { p =>
+      val m = pat.matcher(p.getFileName.toString)
+      if (m.matches()) Some(m.group(1).toLong) else None
+    }.sorted
   }
 
   /**

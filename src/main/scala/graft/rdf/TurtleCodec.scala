@@ -387,9 +387,23 @@ object TurtleCodec {
       val q = doc.charAt(pos)
       val (body, _) =
         if (doc.startsWith(s"$q$q$q", pos)) {
-          val close = doc.indexOf(s"$q$q$q", pos + 3)
-          if (close < 0) err("unterminated long string")
-          val b = doc.substring(pos + 3, close); pos = close + 3; (b, true)
+          // closing delimiter scan honors escapes (rdflib emits long strings
+          // for multiline literals; an embedded \""" must not close early),
+          // and per the grammar the delimiter is the LAST run of quotes —
+          // """a"""" parses as body `a"`.
+          var close = pos + 3
+          var found = -1
+          while (found < 0 && close + 2 < doc.length) {
+            if (doc.charAt(close) == q && !isEscaped(close) &&
+                doc.charAt(close + 1) == q && doc.charAt(close + 2) == q) {
+              // extend past extra quotes: delimiter is the last three
+              var end = close
+              while (end + 3 < doc.length && doc.charAt(end + 3) == q) end += 1
+              found = end
+            } else close += 1
+          }
+          if (found < 0) err("unterminated long string")
+          val b = doc.substring(pos + 3, found); pos = found + 3; (b, true)
         } else {
           var e = pos + 1
           while (e < doc.length && !(doc.charAt(e) == q && !isEscaped(e))) {

@@ -96,4 +96,35 @@ object StreamingExtraction {
     turns.groupByKey(_.conv_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
+
+  /**
+   * Streaming exact dedup: the incremental twin of `Dedup.exactDedup` for a
+   * GROWING corpus — each content hash's first arrival passes through, every
+   * later duplicate is dropped, across micro-batches. State = one boolean
+   * per seen hash, keyed by the md5 of the text: at cluster scale the state
+   * store shards by hash key across executors exactly like the batch
+   * hash-aggregate shuffle does, and the key (16-byte digest, not the
+   * document) keeps the store small. `mapGroupsWithState` over the
+   * documents stream; emits (doc_id, content_hash, is_first) updates, the
+   * deduped stream being the `is_first` rows.
+   */
+  final case class DedupUpdate(doc_id: Long, content_hash: String, is_first: Boolean)
+
+  def streamingExactDedup(spark: SparkSession, docs: DataFrame): Dataset[DedupUpdate] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (hash: String, rows: Iterator[(Long, String)], state: GroupState[Boolean]) =>
+          val seen = state.getOption.getOrElse(false)
+          state.update(true)
+          // within one batch, the min doc_id is the canonical first (same
+          // tie-break as the batch exactDedup keep_doc_id)
+          val batch = rows.toVector.sortBy(_._1)
+          batch.iterator.zipWithIndex.map { case ((id, h), i) =>
+            DedupUpdate(id, h, !seen && i == 0)
+          }
+      }
+  }
 }

@@ -89,4 +89,17 @@ class GraphCatalogSpec extends AnyFunSuite {
     cat.write("urn:g", tripleDf(2, "v2"))
     assert(cat.count("urn:g") == 2L)
   }
+
+  test("time travel: historical snapshots stay readable and immutable") {
+    val root = Files.createTempDirectory("graftcat6").toString
+    val cat = new ParquetSnapshotCatalog(spark, root)
+    val id1 = cat.write("urn:tt", tripleDf(5, "v1"), leadingComments = Seq("first"))
+    val id2 = cat.write("urn:tt", tripleDf(2, "v2"))
+    assert(cat.snapshots("urn:tt") == Seq(id1, id2))
+    val (c1, df1) = cat.readAt("urn:tt", id1)
+    assert(c1 == Seq("first") && df1.count() == 5)
+    assert(cat.readAt("urn:tt", id2)._2.count() == 2)
+    assert(cat.read("urn:tt")._2.count() == 2) // latest == id2
+    intercept[IllegalArgumentException](cat.readAt("urn:tt", 99L))
+  }
 }

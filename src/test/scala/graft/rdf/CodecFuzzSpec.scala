@@ -169,6 +169,16 @@ class CodecFuzzSpec extends AnyFunSuite {
       "http://ex.org/abs", "http://host/x"))
   }
 
+  test("turtle: long strings with embedded newlines, escaped quotes, and trailing quotes") {
+    val doc =
+      "<http://ex/s> <http://ex/p> \"\"\"line one\nline \\\"\"\" two\"\"\" .\n" +
+      "<http://ex/s> <http://ex/q> \"\"\"ends with quote\"\"\"\" .\n"
+    val g = TurtleCodec.parse(doc)
+    val byPred = g.triples.map(t => t.p.value -> t.o.value).toMap
+    assert(byPred("http://ex/p") == "line one\nline \"\"\" two")
+    assert(byPred("http://ex/q") == "ends with quote\"")
+  }
+
   test("turtle: keyword-prefixed names and case-sensitive keywords") {
     val doc =
       """@prefix a: <http://ex.org/a#> .

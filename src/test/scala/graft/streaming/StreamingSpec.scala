@@ -38,6 +38,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming exact dedup drops duplicates across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftdedup").toString
+    Seq((1L, "text A"), (2L, "text B"), (3L, "text A"))
+      .toDF("doc_id", "text").write.mode("append").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = StreamingExtraction.streamingExactDedup(spark,
+      spark.readStream.schema(schema).parquet(dir))
+    val q = stream.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    // second micro-batch: one cross-batch duplicate, one new text
+    Seq((4L, "text A"), (5L, "text C"))
+      .toDF("doc_id", "text").write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_stream").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false, 5L -> true))
+  }
+
   test("watermarked windowed mention counts complete and match batch aggregation") {
     val dir = writeTranscripts()
     val agg = StreamingExtraction.windowedMentionCounts(spark,

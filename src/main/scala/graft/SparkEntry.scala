@@ -274,7 +274,13 @@ object SparkEntry {
 
     // ---- multimodal metadata plumbing (payload synthesized from md5 bytes)
     "q_multimodal_meta" -> ((s, dir) =>
-      Multimodal.assetMetadata(Multimodal.synthesizeAssets(s, docs(s, dir)))))
+      Multimodal.assetMetadata(Multimodal.synthesizeAssets(s, docs(s, dir)))),
+
+    // ---- video frame sampling (1->N executor-side fan-out, stub decode)
+    "q_multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.synthesizeAssets(s, docs(s, dir)), 3)
+        .toDF().select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("payload")).cast("long").as("n_bytes"))))
 
   // ============================================================ oracle SQL
 
@@ -717,5 +723,11 @@ object SparkEntry {
         |  CAST(octet_length(unhex(md5(text))) AS BIGINT) AS n_bytes,
         |  doc_id % 64 + 1 AS width,
         |  doc_id % 48 + 1 AS height
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """SELECT doc_id, CAST(f.i AS BIGINT) AS frame_idx,
+        |  CAST(octet_length(unhex(md5(text))) AS BIGINT) AS n_bytes
+        |FROM documents, (SELECT unnest(range(3)) AS i) f
+        |WHERE doc_id % 3 = 2""".stripMargin)
 }

@@ -84,6 +84,49 @@ object Multimodal {
     }
   }
 
+  /**
+   * STUB resize — the real implementation calls the codec's scaler; the
+   * stub keeps the contract (per-partition batching, metadata rewrite,
+   * deterministic payload transform: proportional byte subsample).
+   */
+  def resizeStub(assets: Dataset[MediaAsset], width: Int, height: Int): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // real impl: val scaler = codec.scaler(width, height) — per partition
+      it.map { a =>
+        val srcArea = math.max(a.width * a.height, 1)
+        val n = math.max(1, math.min(a.payload.length,
+          (a.payload.length.toLong * width * height / srcArea).toInt))
+        a.copy(payload = a.payload.take(n), width = width, height = height)
+      }
+    }
+  }
+
+  /** One sampled video frame: 1→N explode of the video payload. */
+  final case class MediaFrame(
+      doc_id: Long, frame_idx: Int, payload: Array[Byte], width: Int, height: Int)
+
+  /**
+   * STUB frame sampling — the real implementation seeks the container and
+   * decodes every k-th frame; the stub emits `nFrames` deterministic
+   * byte-rotations of the payload. The 1→N flatMap IS the real plumbing
+   * shape: each video row fans out to frame rows that downstream image ops
+   * (resize, feature-extract) consume uniformly, and the fan-out happens
+   * executor-side with no shuffle.
+   */
+  def frameSample(assets: Dataset[MediaAsset], nFrames: Int): Dataset[MediaFrame] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.media_type == "video").flatMap { a =>
+      val len = math.max(a.payload.length, 1)
+      (0 until nFrames).map { f =>
+        val rot = new Array[Byte](a.payload.length)
+        var i = 0
+        while (i < rot.length) { rot(i) = a.payload((i + f) % len); i += 1 }
+        MediaFrame(a.doc_id, f, rot, a.width, a.height)
+      }
+    }
+  }
+
   /** Metadata projection (oracle-checkable: byte length from md5 payload). */
   def assetMetadata(assets: Dataset[MediaAsset]): DataFrame =
     assets.toDF().select(

@@ -144,6 +144,22 @@ class OpsSpec extends AnyFunSuite {
     assert(meta.where(col("media_type").isin("image", "audio", "video")).count() == meta.count())
   }
 
+  test("multimodal resize/frame-sample: deterministic stub transforms over real batch plumbing") {
+    val assets = Multimodal.synthesizeAssets(spark, docs)
+    val resized = Multimodal.resizeStub(assets, 8, 8).collect()
+    assert(resized.forall(a => a.width == 8 && a.height == 8 && a.payload.nonEmpty))
+    val nVideos = assets.filter(_.media_type == "video").count()
+    val frames = Multimodal.frameSample(assets, 3).collect()
+    assert(frames.length == 3 * nVideos)
+    assert(frames.forall(_.payload.length == 16))
+    // frames of one video differ (byte rotation) but are deterministic
+    val byDoc = frames.groupBy(_.doc_id).values.head.sortBy(_.frame_idx)
+    assert(byDoc.map(_.payload.toSeq).distinct.length == byDoc.length)
+    val again = Multimodal.frameSample(assets, 3).collect()
+      .groupBy(_.doc_id)(byDoc.head.doc_id).sortBy(_.frame_idx)
+    assert(again.map(_.payload.toSeq).toSeq == byDoc.map(_.payload.toSeq).toSeq)
+  }
+
   test("text analysis columns are well-formed on the real corpus") {
     val tc = TextAnalysis.tokenCounts(docs).collect()
     assert(tc.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0))

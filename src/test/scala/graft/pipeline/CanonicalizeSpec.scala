@@ -64,6 +64,22 @@ class CanonicalizeSpec extends AnyFunSuite {
     check(nNodes = 100, nEdges = 99, seed = 13L, forceDistributed = true)
   }
 
+  test("node-count gate: sparse edges over a big node dimension take the distributed path") {
+    import spark.implicits._
+    // 3 edges but 50 nodes with driverThreshold=10: the edge probe passes
+    // but the node probe must reject the driver path (a production entity
+    // dimension with sparse links would otherwise collect 10^8 ids)
+    val nodes = (0 until 50).map(i => f"g$i%03d")
+    val edges = Seq(("g000", "g001"), ("g001", "g002"), ("g010", "g011"))
+    val got = Canonicalize.connectedComponents(spark,
+      edges.toDF("entity_a", "entity_b"), nodes.toDF("entity_id"),
+      driverThreshold = 10L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val expected = bfsComponents(nodes, edges)
+    assert(got == expected)
+    assert(got.size == 50) // isolated nodes all present, self-canonical
+  }
+
   test("long path graph converges (worst case for min-propagation, fine for star algorithm)") {
     import spark.implicits._
     val nodes = (0 until 64).map(i => f"p$i%03d")

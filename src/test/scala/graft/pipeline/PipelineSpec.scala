@@ -62,6 +62,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(byEnt("ent:scan").n_hits == 2)
   }
 
+  test("byte-offset edges equal char-offset edges with multibyte text before the match") {
+    import spark.implicits._
+    // '中文 ' is 7 UTF-8 bytes / 3 chars before the hit: byte offsets differ
+    // from char offsets absolutely, but same-offset EQUALITY within a turn
+    // is preserved — the invariant the byte-level DFA relies on
+    val turns = Seq(
+      Turn("mb", 0, "user", "中文 table scan é plus hash join", null,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDS()
+    val fused = Extraction.linkEdgesFused(spark, turns).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val joined = Extraction.linkEdges(Extraction.mentions(spark, turns)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(fused == joined)
+    assert(fused.nonEmpty) // 'table'/'table scan'/'tab' overlap at one offset
+  }
+
   test("fused link edges equal the generic join-based implementation") {
     import spark.implicits._
     val turns = Transcripts.turns(spark, sfDir)

@@ -242,6 +242,10 @@ object SparkEntry {
         },
         lshPairsDf(s, dir))),
 
+    // ---- the composed dedup pipeline end-to-end (exact -> LSH -> verify
+    // -> clusters -> per-document verdict)
+    "q_dedup_pipeline" -> ((s, dir) => DedupPipeline.run(s, docs(s, dir), 0.8)),
+
     // ---- SimHash (bit-majority sketch)
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
 
@@ -369,11 +373,63 @@ object SparkEntry {
        |),
        |sigs AS (SELECT doc_id, $minhashAggs FROM toks GROUP BY doc_id)""".stripMargin
 
-  private def lshBandExprs: String =
+  private def lshBandExprsFrom(sigsTable: String): String =
     (0 until Dedup.LshBands).map { b =>
       val cols = (0 until Dedup.LshRows).map(r => s"sig_${b * Dedup.LshRows + r}")
-      s"(SELECT doc_id, $b AS band, md5(${cols.mkString(" || '|' || ")}) AS key FROM sigs)"
+      s"(SELECT doc_id, $b AS band, md5(${cols.mkString(" || '|' || ")}) AS key FROM $sigsTable)"
     }.mkString(" UNION ALL ")
+
+  private def lshBandExprs: String = lshBandExprsFrom("sigs")
+
+  /** Full composed-dedup-pipeline oracle: exact reps → MinHash/LSH over
+    * reps → Jaccard-verified pairs → recursive-CTE connected components →
+    * per-document verdict. Mirrors [[graft.ops.DedupPipeline.run]]. */
+  private def dedupPipelineOracle(threshold: Double): String =
+    s"""WITH RECURSIVE dochash AS (SELECT doc_id, md5(text) AS h, text FROM documents),
+       |exact AS (SELECT h, min(doc_id) AS rep FROM dochash GROUP BY h),
+       |withrep AS (SELECT d.doc_id, e.rep AS exact_rep FROM dochash d JOIN exact e ON d.h = e.h),
+       |reps AS (SELECT d.doc_id, d.text FROM dochash d JOIN exact e ON d.doc_id = e.rep),
+       |rtoklists AS (SELECT doc_id, string_split(text, ' ') AS t FROM reps),
+       |rtoks AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS tok
+       |  FROM rtoklists, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+       |),
+       |rsigs AS (SELECT doc_id, $minhashAggs FROM rtoks GROUP BY doc_id),
+       |rbanded AS (${lshBandExprsFrom("rsigs")}),
+       |rpairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rbanded a JOIN rbanded b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id < b.doc_id
+       |),
+       |rsizes AS (SELECT doc_id, count(*) AS n FROM rtoks GROUP BY doc_id),
+       |rinter AS (
+       |  SELECT p.doc_a, p.doc_b, count(sb.tok) AS i
+       |  FROM rpairs p
+       |  JOIN rtoks sa ON sa.doc_id = p.doc_a
+       |  LEFT JOIN rtoks sb ON sb.doc_id = p.doc_b AND sb.tok = sa.tok
+       |  GROUP BY p.doc_a, p.doc_b
+       |),
+       |verified AS (
+       |  SELECT i.doc_a, i.doc_b
+       |  FROM rinter i
+       |  JOIN rsizes za ON za.doc_id = i.doc_a
+       |  JOIN rsizes zb ON zb.doc_id = i.doc_b
+       |  WHERE round(CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i), 6) >= $threshold
+       |),
+       |sym AS (SELECT doc_a AS u, doc_b AS v FROM verified
+       |        UNION SELECT doc_b, doc_a FROM verified),
+       |reach(node, r) AS (
+       |  SELECT doc_id, doc_id FROM reps
+       |  UNION
+       |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.node
+       |),
+       |cluster AS (SELECT node AS rep_doc, min(r) AS canonical FROM reach GROUP BY node)
+       |SELECT w.doc_id, c.canonical AS canonical_doc_id,
+       |  w.doc_id = c.canonical AS keep,
+       |  CASE WHEN w.doc_id <> w.exact_rep THEN 'exact_dup'
+       |       WHEN c.canonical <> w.doc_id THEN 'near_dup'
+       |       ELSE 'kept' END AS reason
+       |FROM withrep w JOIN cluster c ON c.rep_doc = w.exact_rep""".stripMargin
 
   private val lshPairsCte: String =
     s"""$minhashCte,
@@ -616,6 +672,8 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q_minhash_sig" -> s"$minhashCte SELECT * FROM sigs",
+
+    "q_dedup_pipeline" -> dedupPipelineOracle(0.8),
 
     "q_lsh_pairs" -> s"$lshPairsCte SELECT doc_a, doc_b FROM pairs",
 

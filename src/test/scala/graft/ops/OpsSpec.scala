@@ -111,6 +111,26 @@ class OpsSpec extends AnyFunSuite {
     assert(mean >= 0.6, s"mean recall $mean, per-query $recalls")
   }
 
+  test("dedup pipeline: exact dups, near-dup clusters, and uniques get the right verdicts") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 29).map(i => s"tok$i").mkString(" ") + " tokX" // high jaccard vs base
+    val other = (1 to 30).map(i => s"zzz$i").mkString(" ")
+    val d = Seq(
+      (1L, base), (2L, base),   // 2 is an exact dup of 1
+      (3L, near),               // near-dup of 1 -> same cluster, canonical 1
+      (4L, other), (5L, other), // 5 exact dup of 4; cluster {4}
+      (6L, "completely different unique text here")).toDF("doc_id", "text")
+    val got = DedupPipeline.run(spark, d, 0.8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getString(3))).toMap
+    assert(got(1L) == ((1L, true, "kept")))
+    assert(got(2L) == ((1L, false, "exact_dup")))
+    assert(got(3L) == ((1L, false, "near_dup")))
+    assert(got(4L) == ((4L, true, "kept")))
+    assert(got(5L) == ((4L, false, "exact_dup")))
+    assert(got(6L) == ((6L, true, "kept")))
+  }
+
   test("IVF ANN achieves >= 0.6 recall@10 vs brute force on real embeddings") {
     val queryIds = Seq(0L, 1L, 2L, 3L, 4L)
     val brute = Ann.bruteForceTopK(embeddings, queryIds, 10).collect()

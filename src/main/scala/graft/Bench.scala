@@ -26,6 +26,7 @@ object Bench {
       SparkEntry.queries.get("q_lsh_pairs").foreach(_(spark, sfDir).count())
       SparkEntry.queries.get("q_ngram_jaccard").foreach(_(spark, sfDir).count())
       SparkEntry.queries.get("q_ann_lsh").foreach(_(spark, sfDir).count())
+      SparkEntry.queries.get("q_dedup_pipeline").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

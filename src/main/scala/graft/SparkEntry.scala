@@ -243,8 +243,11 @@ object SparkEntry {
         lshPairsDf(s, dir))),
 
     // ---- the composed dedup pipeline end-to-end (exact -> LSH -> verify
-    // -> clusters -> per-document verdict)
-    "q_dedup_pipeline" -> ((s, dir) => DedupPipeline.run(s, docs(s, dir), 0.8)),
+    // -> clusters -> per-document verdict). Memoized like the KG graph:
+    // the verdict table is a materialize-once artifact downstream filters
+    // consume many times.
+    "q_dedup_pipeline" -> ((s, dir) =>
+      cached(s, dir, "dedup_pipeline")(DedupPipeline.run(s, docs(s, dir), 0.8))),
 
     // ---- SimHash (bit-majority sketch)
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),

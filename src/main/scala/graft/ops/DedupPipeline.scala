@@ -40,12 +40,19 @@ object DedupPipeline {
       .join(exact.select(col("content_hash"), col("keep_doc_id").as("exact_rep")),
         "content_hash")
       .select("doc_id", "exact_rep")
+    // reps feed FOUR consumers (signatures, member shingles x3 refs via the
+    // Jaccard plan, CC nodes) — persist the intermediate like a production
+    // run materializes it between stages
     val reps = docs.join(
       withRep.where(col("doc_id") === col("exact_rep")).select("doc_id"),
       Seq("doc_id"), "leftsemi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val pairs = Dedup.lshCandidatePairs(Dedup.minhashSignatures(reps))
-    val verified = Dedup.ngramJaccard(reps, pairs)
+    val memberShingles = Dedup.bigramShingles(
+      reps.join(Dedup.pairMembers(pairs), Seq("doc_id"), "leftsemi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verified = Dedup.ngramJaccardFromShingles(memberShingles, pairs)
       .where(col("jaccard") >= jaccardThreshold)
 
     val clusters = Canonicalize.connectedComponents(spark,

@@ -97,14 +97,24 @@ object ScalingBench {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val replication = if (args.length > 1) args(1).toInt else 64
     val cpus = if (args.length > 2) args(2).toInt else 8
+    // in-JVM repeats: hypervisor steal on this shared sandbox varies minute
+    // to minute; the min of k back-to-back runs is the closest observable
+    // to true machine capability, and taking it INSIDE one JVM keeps the
+    // pair same-window (each rep also printed, nothing hidden)
+    val repeats = if (args.length > 3) args(3).toInt else 1
     val spark = session(cpus)
     // warmup: JIT + codegen + parquet footers, not measured
     runJob(spark, sfDir, 1, s"/tmp/graft-scaling-warmup-$cpus")
-    val t0 = System.nanoTime()
-    val triples = runJob(spark, sfDir, replication, s"/tmp/graft-scaling-out-$cpus")
-    val secs = (System.nanoTime() - t0) / 1e9
+    val secsPerRep = (1 to repeats).map { rep =>
+      val t0 = System.nanoTime()
+      val triples = runJob(spark, sfDir, replication, s"/tmp/graft-scaling-out-$cpus")
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"rep": $rep, "level": "local[$cpus]", "seconds": $secs%.2f}""")
+      (secs, triples)
+    }
+    val (secs, triples) = secsPerRep.minBy(_._1)
     val tput = triples / secs
-    println(f"""{"level": "local[$cpus]", "triples": $triples, "seconds": $secs%.2f, "triples_per_sec": $tput%.0f}""")
+    println(f"""{"level": "local[$cpus]", "triples": $triples, "seconds": $secs%.2f, "triples_per_sec": $tput%.0f, "reps": $repeats}""")
     spark.stop()
   }
 }

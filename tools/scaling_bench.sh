@@ -7,12 +7,13 @@ SF=${1:-/root/testdata/sf0.1}
 REPL=${2:-64}
 SMALL=${3:-8}
 BIG=${4:-32}
+REPS=${5:-1}
 export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-12g}
 OUT=$(mktemp)
 for CPUS in $SMALL $BIG; do
   # the whole JVM — GC/JIT/netty pools, not just task slots — is sized to
   # the level, like a real N-core executor (see build.sbt)
-  SPARK_JVM_CPUS=$CPUS sbt -batch "runMain graft.ScalingBench $SF $REPL $CPUS" 2>&1 | grep '"level"' | tee -a "$OUT"
+  SPARK_JVM_CPUS=$CPUS sbt -batch "runMain graft.ScalingBench $SF $REPL $CPUS $REPS" 2>&1 | grep '"triples_per_sec"' | tee -a "$OUT"
 done
 python3 - "$OUT" "$SMALL" "$BIG" <<'EOF'
 import json, sys, re

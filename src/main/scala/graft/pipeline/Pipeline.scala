@@ -74,16 +74,33 @@ object Pipeline {
 
   /**
    * Full run. Returns the triple DataFrame for downstream use.
-   * @param sfDir   testdata scale-factor dir (documents.parquet source)
-   * @param workDir pipeline working/output directory
+   * @param sfDir      testdata scale-factor dir (documents.parquet source)
+   * @param workDir    pipeline working/output directory
+   * @param dedupFirst when true, the composed dedup pipeline
+   *                   ([[graft.ops.DedupPipeline]]) runs as a resumable
+   *                   pre-stage and only `keep` documents enter the KG
+   *                   dataflow — the production corpus-hygiene composition
+   *                   (dedup feeds extraction), off by default so the
+   *                   oracle-pinned outputs are unchanged
    */
-  def run(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+  def run(spark: SparkSession, sfDir: String, workDir: String,
+          dedupFirst: Boolean = false): DataFrame = {
     import spark.implicits._
     val runner = new Runner(spark, workDir)
 
+    val docs =
+      if (!dedupFirst) Transcripts.documents(spark, sfDir)
+      else {
+        val verdicts = runner.stage("t0a_dedup", Seq("documents")) {
+          graft.ops.DedupPipeline.run(spark, Transcripts.documents(spark, sfDir))
+        }
+        Transcripts.documents(spark, sfDir)
+          .join(verdicts.where(col("keep")).select("doc_id"), Seq("doc_id"), "leftsemi")
+      }
+
     val transcripts = runner.stage("t0_transcripts", Seq("documents")) {
       // repartition by conv_id: the extraction stage's unit of parallelism
-      Transcripts.synthesize(spark, sfDir).repartition(col("conv_id"))
+      Transcripts.fromDocuments(docs).repartition(col("conv_id"))
     }
 
     val mentions = runner.stage("t1_mentions", Seq("t0_transcripts")) {

@@ -156,6 +156,20 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup-first pipeline: only kept documents enter the KG dataflow") {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graftpipededup").toString
+    val t = Pipeline.run(spark, sfDir, work, dedupFirst = true)
+    val full = Pipeline.run(spark, sfDir, Files.createTempDirectory("graftpipefull").toString)
+    val tRows = t.collect().map(_.toString).toSet
+    val fullRows = full.collect().map(_.toString).toSet
+    assert(tRows.nonEmpty)
+    assert(tRows.subsetOf(fullRows)) // dedup only removes documents' turns
+    assert(tRows.size < fullRows.size) // the corpus DOES contain near-dups
+    // the dedup stage committed resumably like any other stage
+    assert(Files.exists(java.nio.file.Paths.get(work, "t0a_dedup", "_COMMIT.json")))
+  }
+
   test("pipeline run is deterministic and resumable") {
     import java.nio.file.{Files, Paths}
     val work = Files.createTempDirectory("graftpipe").toString

@@ -125,23 +125,24 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
    */
   def write(graphIri: String, triples: DataFrame, overwrite: Boolean = true,
             leadingComments: Seq[String] = Nil): Long = {
-    val prevId = latestSnapshot(graphIri).map(m => parseManifest(m)("snapshot_id").toLong).getOrElse(0L)
+    val resolved = GraphCatalog.resolveGraphIri(graphIri)
+    val prevId = latestSnapshot(resolved).map(m => parseManifest(m)("snapshot_id").toLong).getOrElse(0L)
     val id = prevId + 1
-    val target = graphDataDir(graphIri).resolve(s"v$id")
+    val target = graphDataDir(resolved).resolve(s"v$id")
     val toWrite =
       if (overwrite || prevId == 0) triples
       else {
         // append = set-union with the previous snapshot (reference merge-into-datagraph semantics)
-        val (_, prev) = read(graphIri)
+        val (_, prev) = read(resolved)
         prev.unionByName(triples).dropDuplicates("s", "s_kind", "p", "o", "o_kind", "o_dtype", "o_lang")
       }
     toWrite.write.mode(SaveMode.Overwrite).parquet(target.toString)
     val manifest =
-      s"""{"graph_iri": ${jstr(graphIri)}, "snapshot_id": "$id", "path": ${jstr(target.toString)},
+      s"""{"graph_iri": ${jstr(resolved)}, "snapshot_id": "$id", "path": ${jstr(target.toString)},
          | "leading_comments": ${jarr(leadingComments)}}""".stripMargin
-    val tmp = snapDir.resolve(s".tmp-${enc(graphIri)}.$id")
+    val tmp = snapDir.resolve(s".tmp-${enc(resolved)}.$id")
     Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, snapDir.resolve(f"${enc(graphIri)}.$id%09d.json"),
+    Files.move(tmp, snapDir.resolve(f"${enc(resolved)}.$id%09d.json"),
       StandardCopyOption.ATOMIC_MOVE)
     id
   }
@@ -150,9 +151,16 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
   private def jarr(xs: Seq[String]): String = xs.map(jstr).mkString("[", ",", "]")
 
+  /** Workflow URNs resolve to their master graph THROUGHOUT the surface
+    * (read/readAt/snapshots/exists/ask/count/selectLimit) — the reference
+    * reads a workflow's content via its datagraph
+    * (test_persistence_system_local_sop.py:81-87: write through the
+    * workflow URN, read 6 master triples back), and resolving only in
+    * `exists` would make `ask` pass its exists() guard then crash in read. */
   def read(graphIri: String): (Seq[String], DataFrame) = {
-    val manifest = latestSnapshot(graphIri).getOrElse(
-      throw new IllegalArgumentException(s"No such graph: $graphIri"))
+    val resolved = GraphCatalog.resolveGraphIri(graphIri)
+    val manifest = latestSnapshot(resolved).getOrElse(
+      throw new IllegalArgumentException(s"No such graph: $resolved"))
     readManifest(manifest)
   }
 
@@ -172,15 +180,16 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
     * once committed, so any historical snapshot id reads consistently —
     * the Iceberg semantic the ParquetSnapshotFormat stands in for. */
   def readAt(graphIri: String, snapshotId: Long): (Seq[String], DataFrame) = {
-    val p = snapDir.resolve(f"${enc(graphIri)}.$snapshotId%09d.json")
+    val resolved = GraphCatalog.resolveGraphIri(graphIri)
+    val p = snapDir.resolve(f"${enc(resolved)}.$snapshotId%09d.json")
     if (!Files.exists(p))
-      throw new IllegalArgumentException(s"No snapshot $snapshotId for graph: $graphIri")
+      throw new IllegalArgumentException(s"No snapshot $snapshotId for graph: $resolved")
     readManifest(p)
   }
 
   def snapshots(graphIri: String): Seq[Long] = {
     val pat = java.util.regex.Pattern.compile(
-      java.util.regex.Pattern.quote(enc(graphIri)) + "\\.(\\d{9})\\.json")
+      java.util.regex.Pattern.quote(enc(GraphCatalog.resolveGraphIri(graphIri))) + "\\.(\\d{9})\\.json")
     val files =
       if (!Files.isDirectory(snapDir)) Vector.empty
       else {

@@ -80,18 +80,25 @@ object Dedup {
    *    collect_set (banding keeps honest buckets near-duplicate-only, so
    *    this is the common case and stays ONE aggregate);
    *  - size > maxBucket: STAR expansion — every member pairs with the
-   *    bucket's min doc_id. Linear output, bounded shuffle, and NOTHING is
-   *    silently dropped: every member remains connected to its bucket
-   *    representative, so downstream near-dup clustering (connected
-   *    components over verified pairs) sees the same components; only the
-   *    redundant intra-bucket edges are elided. Oversize buckets are
-   *    counted eagerly and logged.
+   *    bucket's min doc_id. Linear output, bounded shuffle, and nothing is
+   *    SILENTLY dropped: every member stays connected to its bucket
+   *    representative, so candidate-level bucket connectivity is preserved.
+   *    Known tradeoff (logged, not hidden): if a downstream verifier
+   *    REJECTS the representative's edges (e.g. the rep fails Jaccard
+   *    against two members that are true near-dups of each other), the
+   *    untested member–member edge is lost — full expansion would have
+   *    tested it. In practice oversize buckets are degenerate
+   *    identical-boilerplate collisions that exact dedup already collapsed,
+   *    and the cap defaults high (4096).
    *
    * The banded projection is persisted: it is read by the sizing aggregate
    * and both expansion branches, and recomputing it means re-running the
    * MinHash signature subtree (shingle explode over the full corpus) per
    * consumer. It is 4 small rows per document — the cheapest artifact in
-   * the dedup pipeline.
+   * the dedup pipeline. The persists are MEMORY_AND_DISK and evictable
+   * (LRU); long-lived sessions issuing many independent dedup runs should
+   * materialize candidates to a table between stages (as Pipeline does),
+   * after which the cached blocks are dead weight the LRU reclaims.
    */
   def lshCandidatePairs(signatures: DataFrame, maxBucket: Int = 4096): DataFrame = {
     val banded = signatures.select(

@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
 object DedupPipeline {
 
   /** Zero-padded doc-id key: lexicographic min == numeric min, so the CC
-    * canonical (min string) is the min doc_id. */
-  private def key(c: Column): Column = format_string("d%012d", c)
-  private def unkey(c: Column): Column = substring(c, 2, 12).cast("long")
+    * canonical (min string) is the min doc_id. 20 digits covers the full
+    * non-negative Long range (max is 19 digits) — a narrower pad would
+    * break the ordering once ids cross it. */
+  private def key(c: Column): Column = format_string("d%020d", c)
+  private def unkey(c: Column): Column = substring(c, 2, 20).cast("long")
 
   /**
    * @return one row per input document:

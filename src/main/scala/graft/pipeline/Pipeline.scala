@@ -83,9 +83,29 @@ object Pipeline {
    *                   (dedup feeds extraction), off by default so the
    *                   oracle-pinned outputs are unchanged
    */
+  /** Stage manifests are keyed by name only, so a workDir is bound to ONE
+    * pipeline configuration: resuming with a different `dedupFirst` would
+    * silently reuse the other configuration's committed t0 output. The
+    * config manifest makes that an error instead. */
+  private def checkConfig(workDir: String, dedupFirst: Boolean): Unit = {
+    val p = Paths.get(workDir, "_CONFIG.json")
+    val cfg = s"""{"dedup_first": $dedupFirst}"""
+    if (Files.exists(p)) {
+      val prev = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      if (prev != cfg)
+        throw new IllegalArgumentException(
+          s"workDir $workDir was created with config $prev; rerun with the same " +
+            s"configuration or use a fresh workDir (requested $cfg)")
+    } else {
+      Files.createDirectories(Paths.get(workDir))
+      Files.write(p, cfg.getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
   def run(spark: SparkSession, sfDir: String, workDir: String,
           dedupFirst: Boolean = false): DataFrame = {
     import spark.implicits._
+    checkConfig(workDir, dedupFirst)
     val runner = new Runner(spark, workDir)
 
     val docs =

@@ -27,22 +27,42 @@ object DistributedRdf {
 
   /**
    * Distributed N-Triples scan: splittable text source, per-line parse.
-   * Blank-node labels are salted with a per-source-file token (same as
-   * [[readDocs]] and GraphOps.merge): NT bnode labels are document-scoped,
-   * so identical labels in different files of a multi-file glob are
-   * DISTINCT nodes — rdflib's fresh-bnodes-per-parse merge semantics.
+   *
+   * With `saltPerFile = true` (default), blank-node labels are salted with
+   * a per-source-file token (64-bit FNV-1a of the path — a 32-bit hash
+   * collides near 10^5 files): NT bnode labels are document-scoped, so
+   * identical labels in different files of a multi-file glob are DISTINCT
+   * nodes — rdflib's fresh-bnodes-per-parse merge semantics.
+   *
+   * Pass `saltPerFile = false` when the directory is ONE logical document
+   * sharded by a previous [[writeNt]] (shards share a label space; salting
+   * would split a bnode whose triples straddle a shard boundary).
    */
-  def readNt(spark: SparkSession, path: String): Dataset[TripleRow] = {
+  def readNt(spark: SparkSession, path: String,
+             saltPerFile: Boolean = true): Dataset[TripleRow] = {
     import spark.implicits._
-    spark.read.text(path)
-      .select(input_file_name().as("f"), $"value")
-      .as[(String, String)]
-      .mapPartitions { lines =>
-        lines.flatMap { case (file, l) =>
-          val salt = Integer.toHexString(file.hashCode)
-          NtCodec.parseLine(l).map(t => TripleRow.fromTriple(saltBnodes(t, salt)))
-        }
+    if (!saltPerFile)
+      spark.read.textFile(path).mapPartitions { lines =>
+        lines.flatMap(l => NtCodec.parseLine(l).map(TripleRow.fromTriple))
       }
+    else
+      spark.read.text(path)
+        .select(input_file_name().as("f"), $"value")
+        .as[(String, String)]
+        .mapPartitions { lines =>
+          lines.flatMap { case (file, l) =>
+            val salt = java.lang.Long.toHexString(fnv64(file))
+            NtCodec.parseLine(l).map(t => TripleRow.fromTriple(saltBnodes(t, salt)))
+          }
+        }
+  }
+
+  /** FNV-1a 64-bit — stable, dependency-free path hash for bnode salts. */
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
   }
 
   /**
@@ -162,28 +182,49 @@ object DistributedRdf {
     import spark.implicits._
     val fmtToken = format.token
     val ext = RdfFormat.outputFileEndings.getOrElse(fmtToken, fmtToken)
+    // ship the SESSION's Hadoop conf to the tasks — a bare `new
+    // Configuration()` on the executor drops every spark.hadoop.* setting
+    // (s3a credentials/endpoints, hdfs nameservices), breaking the
+    // any-scheme contract for everything but file://
+    val hadoopConf: Array[(String, String)] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
+      buf.toArray
+    }
     val shards = triples
       .select(col("graph_iri"), col("s"), col("s_kind"), col("p"),
         col("o"), col("o_kind"), col("o_dtype"), col("o_lang"))
       .as[(String, String, Int, String, String, Int, String, String)]
       .repartition(col("graph_iri"))
+      .sortWithinPartitions(col("graph_iri"))
       .mapPartitions { it =>
-        val fs = new org.apache.hadoop.fs.Path(dirUri)
-          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        // sorted input → consume one graph's contiguous run at a time, so
+        // only ONE graph is resident per task (the documented bound), not
+        // every graph hashed to the partition
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        hadoopConf.foreach { case (k, v) => conf.set(k, v) }
+        val fs = new org.apache.hadoop.fs.Path(dirUri).getFileSystem(conf)
         fs.mkdirs(new org.apache.hadoop.fs.Path(dirUri))
-        val byGraph = it.toVector.groupBy(_._1)
-        byGraph.iterator.map { case (graphIri, rows) =>
-          val ts = rows.map { case (_, s, sk, p, o, ok, od, ol) =>
-            TripleRow(s, sk, p, o, ok, od, ol).asTriple
-          }.toVector
-          val doc = RdfIo.normalizeTail(
-            RdfIo.serialize(ParsedGraph(ts, prefixes), format))
-          val out = new org.apache.hadoop.fs.Path(dirUri,
-            java.net.URLEncoder.encode(graphIri, "UTF-8") + "." + ext)
-          val os = fs.create(out, true)
-          try os.write(doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally os.close()
-          graphIri
+        val rows = it.buffered
+        new Iterator[String] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): String = {
+            val graphIri = rows.head._1
+            val ts = scala.collection.mutable.ArrayBuffer.empty[Triple]
+            while (rows.hasNext && rows.head._1 == graphIri) {
+              val (_, s, sk, p, o, ok, od, ol) = rows.next()
+              ts += TripleRow(s, sk, p, o, ok, od, ol).asTriple
+            }
+            val doc = RdfIo.normalizeTail(
+              RdfIo.serialize(ParsedGraph(ts.toVector, prefixes), format))
+            val out = new org.apache.hadoop.fs.Path(dirUri,
+              java.net.URLEncoder.encode(graphIri, "UTF-8") + "." + ext)
+            val os = fs.create(out, true)
+            try os.write(doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally os.close()
+            graphIri
+          }
         }
       }
     shards.count()

@@ -82,6 +82,20 @@ class GraphCatalogSpec extends AnyFunSuite {
     assert(!cat.exists("urn:x-evn-tag:dg2:wf1:Administrator"))
   }
 
+  test("the whole catalog surface resolves workflow URNs, not just exists") {
+    val root = Files.createTempDirectory("graftcat7").toString
+    val cat = new ParquetSnapshotCatalog(spark, root)
+    val wf = "urn:x-evn-tag:dgx:wfx:Administrator"
+    // write THROUGH the workflow URN lands in the master graph
+    val id = cat.write(wf, tripleDf(4, "w"))
+    assert(cat.exists(wf) && cat.ask(wf)) // ask must not crash after exists passes
+    assert(cat.count(wf) == 4L)
+    assert(cat.count("urn:x-evn-master:dgx") == 4L)
+    assert(cat.selectLimit(wf, 2).count() == 2)
+    assert(cat.snapshots(wf) == Seq(id))
+    assert(cat.readAt(wf, id)._2.count() == 4)
+  }
+
   test("overwrite bumps the snapshot id and replaces content") {
     val root = Files.createTempDirectory("graftcat3").toString
     val cat = new ParquetSnapshotCatalog(spark, root)

@@ -168,6 +168,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(tRows.size < fullRows.size) // the corpus DOES contain near-dups
     // the dedup stage committed resumably like any other stage
     assert(Files.exists(java.nio.file.Paths.get(work, "t0a_dedup", "_COMMIT.json")))
+    // a workDir is bound to its configuration: resuming with the opposite
+    // dedupFirst must fail loudly, not silently reuse committed stages
+    intercept[IllegalArgumentException](Pipeline.run(spark, sfDir, work))
+  }
+
+  test("dedup pipeline keys survive doc ids beyond 12 digits") {
+    import spark.implicits._
+    val big = 5000000000000L // > 10^12
+    val d = Seq((big, "same text body here"), (big + 1, "same text body here"),
+      (7L, "unique other text")).toDF("doc_id", "text")
+    val got = graft.ops.DedupPipeline.run(spark, d, 0.8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(got(big) == ((big, "kept")))
+    assert(got(big + 1) == ((big, "exact_dup")))
+    assert(got(7L) == ((7L, "kept")))
   }
 
   test("pipeline run is deterministic and resumable") {

@@ -52,6 +52,22 @@ class DistributedRdfSpec extends AnyFunSuite {
     }
   }
 
+  test("readNt(saltPerFile = false) keeps one label space across shards of one document") {
+    // one bnode's triples deliberately split across two shard files (what
+    // writeNt produces when a bnode's triples straddle a partition boundary)
+    val dir = Files.createTempDirectory("graftntrt")
+    Files.write(dir.resolve("part-00000.nt"),
+      "_:b0 <http://ex/p> \"v1\" .\n".getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("part-00001.nt"),
+      "_:b0 <http://ex/p> \"v2\" .\n".getBytes(StandardCharsets.UTF_8))
+    val back = DistributedRdf.readNt(spark, dir.toString + "/part-*", saltPerFile = false).collect()
+    assert(back.length == 2)
+    assert(back.map(_.s).toSet == Set("b0")) // one node, not two
+    // default (independent-files semantics) splits it — documented behavior
+    val salted = DistributedRdf.readNt(spark, dir.toString + "/part-*").collect()
+    assert(salted.map(_.s).toSet.size == 2)
+  }
+
   test("readNt single file still parses every line") {
     val dir = Files.createTempDirectory("graftnt1")
     val nt = (0 until 100).map(i => s"<http://ex/s$i> <http://ex/p> \"$i\" .").mkString("\n")

@@ -273,6 +273,17 @@ object SparkEntry {
     "q_embed_dups_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDupsLsh(table(s, dir, "embeddings"), 0.3)),
 
+    // ---- deterministic stratified sample (md5-nibble buckets, no RNG)
+    "q_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir),
+        "lang", Map("en" -> 8, "de" -> 4, "fr" -> 2))
+        .select("doc_id", "lang")),
+
+    // ---- per-group top-k selection (best docs per language by length)
+    "q_topk_group" -> ((s, dir) =>
+      Sampling.topKPerGroup(
+        docs(s, dir).select("doc_id", "lang", "n_chars"), "lang", "n_chars", 3)),
+
     // ---- text analysis
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScores(docs(s, dir))),
@@ -737,6 +748,18 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) <
+        |  CASE lang WHEN 'en' THEN 8 WHEN 'de' THEN 4 WHEN 'fr' THEN 2 ELSE 0 END""".stripMargin,
+
+    "q_topk_group" ->
+      """SELECT doc_id, lang, n_chars, rank FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents)
+        |WHERE rank <= 3""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -180,6 +180,35 @@ class OpsSpec extends AnyFunSuite {
     assert(again.map(_.payload.toSeq).toSeq == byDoc.map(_.payload.toSeq).toSeq)
   }
 
+  test("stratified sample is deterministic and respects per-stratum quotas") {
+    val s1 = Sampling.stratifiedSample(docs, "lang", Map("en" -> 8, "de" -> 4))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val s2 = Sampling.stratifiedSample(docs, "lang", Map("en" -> 8, "de" -> 4))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(s1.sameElements(s2)) // no RNG: identical across runs
+    assert(s1.nonEmpty)
+    val byLang = Sampling.stratifiedSample(docs, "lang", Map("en" -> 8, "de" -> 4))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.keySet == Set("en", "de")) // unquoted strata dropped
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ~8/16 of en, ~4/16 of de (hash buckets are uniform-ish, not exact)
+    assert(math.abs(byLang("en").toDouble / totals("en") - 0.5) < 0.15)
+    assert(math.abs(byLang("de").toDouble / totals("de") - 0.25) < 0.15)
+  }
+
+  test("top-k per group keeps exactly k best rows per stratum, ties broken by key") {
+    val got = Sampling.topKPerGroup(
+      docs.select(col("doc_id"), col("lang"), col("n_chars")), "lang", "n_chars", 3)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    val byLang = got.groupBy(_._1)
+    assert(byLang.values.forall(_.length == 3))
+    byLang.values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).toSeq.sorted(Ordering[Long].reverse))
+    }
+  }
+
   test("text analysis columns are well-formed on the real corpus") {
     val tc = TextAnalysis.tokenCounts(docs).collect()
     assert(tc.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0))

@@ -252,6 +252,9 @@ object SparkEntry {
     // ---- SimHash (bit-majority sketch)
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
 
+    // ---- SimHash near-dups via chunk banding (hamming-LSH, never all-pairs)
+    "q_simhash_dups" -> ((s, dir) => Dedup.simhashNearDups(docs(s, dir), 3)),
+
     // ---- embedding-cosine near-dup (label-blocked)
     "q_embed_dups" -> ((s, dir) =>
       Dedup.embeddingNearDups(table(s, dir, "embeddings"), 0.4)),
@@ -375,6 +378,19 @@ object SparkEntry {
        |  UNION ALL SELECT * FROM structure_triples
        |  UNION ALL SELECT * FROM role_triples
        |)""".stripMargin
+
+  private val simhashCte: String = {
+    val votes = (0 until Dedup.SimhashBits).map(b =>
+      s"sum(CASE WHEN substring(h, ${b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v_$b")
+      .mkString(", ")
+    val bits = (0 until Dedup.SimhashBits).map(b =>
+      s"CASE WHEN v_$b > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+       |),
+       |votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $bits AS simhash FROM votes)""".stripMargin
+  }
 
   private val minhashAggs: String =
     (0 until Dedup.MinhashK).map(i => s"min(md5('$i:' || tok)) AS sig_$i").mkString(", ")
@@ -712,17 +728,38 @@ object SparkEntry {
          |JOIN sizes za ON za.doc_id = i.doc_a
          |JOIN sizes zb ON zb.doc_id = i.doc_b""".stripMargin,
 
-    "q_simhash" -> {
+    "q_simhash" -> s"$simhashCte SELECT doc_id, simhash FROM sh",
+
+    "q_simhash_dups" -> {
       val votes = (0 until Dedup.SimhashBits).map(b =>
         s"sum(CASE WHEN substring(h, ${b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v_$b")
         .mkString(", ")
       val bits = (0 until Dedup.SimhashBits).map(b =>
         s"CASE WHEN v_$b > 0 THEN '1' ELSE '0' END").mkString(" || ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+      val hamming = (0 until Dedup.SimhashBits).map(i =>
+        s"CASE WHEN substring(sa, ${i + 1}, 1) <> substring(sb, ${i + 1}, 1) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH btoklists AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |bshingles AS (
+         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS shingle
+         |  FROM btoklists, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
          |),
-         |votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id)
-         |SELECT doc_id, $bits AS simhash FROM votes""".stripMargin
+         |bh AS (SELECT doc_id, md5(shingle) AS h FROM bshingles),
+         |votes2 AS (SELECT doc_id, $votes FROM bh GROUP BY doc_id),
+         |sh2 AS (SELECT doc_id, $bits AS simhash FROM votes2),
+         |banded AS (
+         |  SELECT doc_id, simhash, c.c AS chunk,
+         |         substring(simhash, c.c * 4 + 1, 4) AS key
+         |  FROM sh2, (SELECT unnest(range(4)) AS c) c
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.simhash AS sa, b.simhash AS sb
+         |  FROM banded a JOIN banded b ON a.chunk = b.chunk AND a.key = b.key
+         |  WHERE a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, CAST($hamming AS BIGINT) AS hamming
+         |FROM cand WHERE $hamming <= 3""".stripMargin
     },
 
     "q_embed_dups" ->

@@ -88,6 +88,42 @@ class OpsSpec extends AnyFunSuite {
     assert(hamming(got(1L), got(3L)) <= 5)
   }
 
+  test("simhash chunk-banding finds near-dups within hamming 3, never misses by pigeonhole") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val d = Seq((1L, base), (2L, base), (3L, base + " extra few words appended"),
+      (4L, (1 to 60).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.simhashNearDups(d, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) == 0L) // identical docs: hamming 0
+    // exhaustive check vs the sketch table: every pair within hamming 3 is found
+    val sketches = Dedup.simhashOver(Dedup.bigramShingles(d)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    for (a <- sketches.keys; b <- sketches.keys if a < b) {
+      val h = ham(sketches(a), sketches(b))
+      if (h <= 3) assert(got.get((a, b)).contains(h.toLong), s"missed ($a,$b) at hamming $h")
+      else assert(!got.contains((a, b)))
+    }
+  }
+
+  test("simhash64 chunk-banding: pigeonhole-complete within hamming 3 on the real corpus") {
+    val found = Dedup.simhashNearDups64(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sketches = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.simhash64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var expected = 0
+    for (a <- sketches.keys; b <- sketches.keys if a < b) {
+      val h = java.lang.Long.bitCount(sketches(a) ^ sketches(b)).toLong
+      if (h <= 3) {
+        expected += 1
+        assert(found.get((a, b)).contains(h), s"missed ($a,$b) at hamming $h")
+      }
+    }
+    assert(found.size == expected)
+  }
+
   test("cosine column matches a scala-side computation") {
     import spark.implicits._
     val d = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f))).toDF("a", "b")

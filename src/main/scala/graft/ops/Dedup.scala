@@ -231,24 +231,29 @@ object Dedup {
     val chunkLen = SimhashBits / chunks
     // BIGRAM sketch input: on a shared-vocabulary corpus unigram-token
     // sketches collide en masse (measured: 35k candidate pairs from 500
-    // docs) — the same degeneracy bigram shingling fixes for MinHash
+    // docs) — the same degeneracy bigram shingling fixes for MinHash.
+    // Persisted: both join sides read it, and recomputing means two full
+    // shingle explodes (same rationale as lshCandidatePairs' banded table).
     val sh = simhashOver(bigramShingles(docs))
-    val banded = sh.select(col("doc_id"), col("simhash"),
+      .withColumn("sim_num", conv(col("simhash"), 2, 10).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sh.select(col("doc_id"), col("sim_num"),
       posexplode(array((0 until chunks).map(c =>
         substring(col("simhash"), c * chunkLen + 1, chunkLen)): _*)).as(Seq("chunk", "key")))
-    val hamming = (0 until SimhashBits).map(i =>
-      when(substring(col("sim_a"), i + 1, 1) =!= substring(col("sim_b"), i + 1, 1), 1)
-        .otherwise(0)).reduce(_ + _)
-    banded.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+    // verify BEFORE dedup: hamming is deterministic per pair, so duplicate
+    // candidates (pairs agreeing on several chunks) collapse identically —
+    // and the dedup shuffle then carries only the few verified survivors,
+    // not every candidate the banding emitted. The verify itself is one
+    // xor + popcount on the numeric sketch, not 16 substring compares.
+    banded.select(col("doc_id").as("doc_a"), col("sim_num").as("num_a"),
         col("chunk"), col("key"))
-      .join(banded.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+      .join(banded.select(col("doc_id").as("doc_b"), col("sim_num").as("num_b"),
         col("chunk"), col("key")), Seq("chunk", "key"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sim_a", "sim_b")
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", hamming.cast("long"))
+      .withColumn("hamming", bit_count(col("num_a").bitwiseXOR(col("num_b"))).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /**
@@ -273,11 +278,10 @@ object Dedup {
       .join(banded.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
         col("chunk"), col("key")), Seq("chunk", "key"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sim_a", "sim_b")
-      .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   // ------------------------------------------------- embedding near-dup

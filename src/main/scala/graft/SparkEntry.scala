@@ -287,6 +287,10 @@ object SparkEntry {
       Sampling.topKPerGroup(
         docs(s, dir).select("doc_id", "lang", "n_chars"), "lang", "n_chars", 3)),
 
+    // ---- sequence packing: running-size context-window bins per stratum
+    "q_pack" -> ((s, dir) =>
+      Sampling.packSequences(docs(s, dir), "lang", "n_chars", 4096)),
+
     // ---- text analysis
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScores(docs(s, dir))),
@@ -797,6 +801,14 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank
         |  FROM documents)
         |WHERE rank <= 3""".stripMargin,
+
+    "q_pack" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(sum(n_chars) OVER w AS BIGINT) AS cum_tokens,
+        |  CAST(floor((sum(n_chars) OVER w - n_chars) / 4096.0) AS BIGINT) AS bin
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -55,4 +55,39 @@ object Sampling {
       .where(col("rank") <= k)
       .withColumn("rank", col("rank").cast("long"))
   }
+
+  /**
+   * Sequence packing for context-window assembly: within each stratum,
+   * documents in stable key order are assigned to consecutive bins by the
+   * running token count — `bin = floor((cumsum(tokens) - tokens) /
+   * capacity)` (i.e. the bin the document STARTS in). One window shuffle
+   * per stratum, deterministic, no driver loop — the distributed
+   * approximation of greedy sequence packing (bins may straddle capacity
+   * by at most one document, the standard streaming-packing relaxation).
+   */
+  def packSequences(docs: DataFrame, stratumCol: String, tokenCol: String,
+                    capacity: Int, keyCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(stratumCol).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(keyCol), col(stratumCol), col(tokenCol))
+      .withColumn("cum_tokens", sum(col(tokenCol)).over(w).cast("long"))
+      .withColumn("bin",
+        floor((col("cum_tokens") - col(tokenCol)) / capacity).cast("long"))
+  }
+
+  /**
+   * Text scrubbing: redact emails and URLs (the baseline PII/noise pass a
+   * training corpus runs before tokenization). Pure codegen'd
+   * regexp_replace projection — narrow, no UDF; extend the pattern list
+   * for phone numbers / ids as policy requires.
+   */
+  def scrubText(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("scrubbed",
+      regexp_replace(
+        regexp_replace(col(textCol),
+          "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+        "https?://[^\\s]+", "<URL>"))
+      .withColumn("n_redactions",
+        (size(split(col("scrubbed"), "<EMAIL>", -1)) - 1 +
+          size(split(col("scrubbed"), "<URL>", -1)) - 1).cast("long"))
 }

@@ -245,6 +245,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing: bins respect the running-size relaxation, deterministic") {
+    import spark.implicits._
+    val d = Seq((1L, "en", 3000L), (2L, "en", 3000L), (3L, "en", 3000L),
+      (4L, "de", 5000L), (5L, "de", 100L)).toDF("doc_id", "lang", "n_chars")
+    val got = Sampling.packSequences(d, "lang", "n_chars", 4096).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    // en: cum 3000/6000/9000 -> starts at 0/3000/6000 -> bins 0,0,1
+    assert(got(1L) == ((3000L, 0L)) && got(2L) == ((6000L, 0L)) && got(3L) == ((9000L, 1L)))
+    // de: doc 4 starts at 0 (bin 0, straddles capacity - allowed), doc 5 starts at 5000 (bin 1)
+    assert(got(4L)._2 == 0L && got(5L)._2 == 1L)
+  }
+
+  test("scrubbing redacts emails and URLs, counts redactions") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "contact me at alice.smith+x@ex-ample.org or https://ex.org/a?b=1 thanks"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val got = Sampling.scrubText(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(got(1L)._1 == "contact me at <EMAIL> or <URL> thanks")
+    assert(got(1L)._2 == 2L)
+    assert(got(2L) == (("no pii here at all", 0L)))
+  }
+
   test("text analysis columns are well-formed on the real corpus") {
     val tc = TextAnalysis.tokenCounts(docs).collect()
     assert(tc.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0))

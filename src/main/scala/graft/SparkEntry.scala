@@ -377,10 +377,17 @@ object SparkEntry {
        |         CAST(2 AS BIGINT) AS o_kind, conv_id, CAST(turn_idx AS BIGINT) AS turn_idx
        |  FROM turns
        |),
+       |tool_triples AS (
+       |  SELECT 'urn:conv:' || conv_id || ':' || CAST(turn_idx AS VARCHAR) AS s,
+       |         'urn:graft:usedTool' AS p, tool AS o,
+       |         CAST(2 AS BIGINT) AS o_kind, conv_id, CAST(turn_idx AS BIGINT) AS turn_idx
+       |  FROM turns WHERE tool IS NOT NULL
+       |),
        |triples AS (
        |  SELECT * FROM mention_triples
        |  UNION ALL SELECT * FROM structure_triples
        |  UNION ALL SELECT * FROM role_triples
+       |  UNION ALL SELECT * FROM tool_triples
        |)""".stripMargin
 
   private val simhashCte: String = {

@@ -170,6 +170,8 @@ object Extraction {
    *  - mention triples: <urn:conv:C> urn:graft:mentions <urn:ENT-canonical>
    *  - structure triples: <urn:conv:C:T> urn:graft:partOf <urn:conv:C>
    *  - role triples: <urn:conv:C:T> urn:graft:role "role"
+   *  - tool triples: <urn:conv:C:T> urn:graft:usedTool "tool" (agent tool
+   *    calls from the input_hint's `tool` column; null = no tool used)
    */
   /** Entity count probe for the broadcast-vs-shuffle switch (bounded: never
     * pulls more than limit+1 rows through the count). */
@@ -233,7 +235,14 @@ object Extraction {
       col("role").as("o"),
       lit(2).as("o_kind"),
       col("conv_id"), col("turn_idx"))
-    m.unionByName(structure).unionByName(roles)
+    // tool-usage triples: the input_hint's `tool` column (agent tool calls)
+    val tools = turns.where(col("tool").isNotNull).select(
+      turnIri.as("s"),
+      lit("urn:graft:usedTool").as("p"),
+      col("tool").as("o"),
+      lit(2).as("o_kind"),
+      col("conv_id"), col("turn_idx"))
+    m.unionByName(structure).unionByName(roles).unionByName(tools)
   }
 
   /**
@@ -261,12 +270,14 @@ object Extraction {
       val counts = new Array[Int](trie.numPatterns)
       val firstPos = new Array[Int](trie.numPatterns)
       val seen = scala.collection.mutable.HashSet.empty[String]
-      it.flatMap { case (convId, turnIdx, role, turnText) =>
+      it.flatMap { case (convId, turnIdx, role, tool, turnText) =>
         val convIri = "urn:conv:" + convId
         val turnIri = convIri + ":" + turnIdx
         val out = ArrayBuffer.empty[(String, String, String, Int, String, Int)]
         out += ((turnIri, "urn:graft:partOf", convIri, 0, convId, turnIdx))
         out += ((turnIri, "urn:graft:role", role, 2, convId, turnIdx))
+        if (tool != null)
+          out += ((turnIri, "urn:graft:usedTool", tool, 2, convId, turnIdx))
         val text = if (turnText == null) Array.emptyByteArray else turnText
         trie.matchStatsBytes(text, counts, firstPos)
         seen.clear()
@@ -285,14 +296,15 @@ object Extraction {
     }.toDF("s", "p", "o", "o_kind", "conv_id", "turn_idx")
   }
 
-  /** The four columns the fused passes consume — projected before the
-    * opaque mapPartitions so the scan never materializes tool/ts, with the
+  /** The five columns the fused passes consume — projected before the
+    * opaque mapPartitions so the scan never materializes ts, with the
     * text pre-encoded to UTF-8 bytes for the byte-level DFA. */
-  private def slim(turns: Dataset[Turn]): Dataset[(String, Int, String, Array[Byte])] = {
+  private def slim(turns: Dataset[Turn]): Dataset[(String, Int, String, String, Array[Byte])] = {
     val spark = turns.sparkSession
     import spark.implicits._
-    turns.select(col("conv_id"), col("turn_idx"), col("role"), encode(col("text"), "UTF-8"))
-      .as[(String, Int, String, Array[Byte])]
+    turns.select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        encode(col("text"), "UTF-8"))
+      .as[(String, Int, String, String, Array[Byte])]
   }
 
   /**
@@ -314,12 +326,14 @@ object Extraction {
       val (trie, entityIds) = bc.value
       val counts = new Array[Int](trie.numPatterns)
       val firstPos = new Array[Int](trie.numPatterns)
-      it.flatMap { case (convId, turnIdx, role, turnText) =>
+      it.flatMap { case (convId, turnIdx, role, tool, turnText) =>
         val convIri = "urn:conv:" + convId
         val turnIri = convIri + ":" + turnIdx
         val out = ArrayBuffer.empty[(String, String, String, Int, String, Int)]
         out += ((turnIri, "urn:graft:partOf", convIri, 0, convId, turnIdx))
         out += ((turnIri, "urn:graft:role", role, 2, convId, turnIdx))
+        if (tool != null)
+          out += ((turnIri, "urn:graft:usedTool", tool, 2, convId, turnIdx))
         val text = if (turnText == null) Array.emptyByteArray else turnText
         trie.matchStatsBytes(text, counts, firstPos)
         var i = 0

@@ -237,14 +237,26 @@ object Dedup {
     val sh = simhashOver(bigramShingles(docs))
       .withColumn("sim_num", conv(col("simhash"), 2, 10).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sh.select(col("doc_id"), col("sim_num"),
-      posexplode(array((0 until chunks).map(c =>
-        substring(col("simhash"), c * chunkLen + 1, chunkLen)): _*)).as(Seq("chunk", "key")))
-    // verify BEFORE dedup: hamming is deterministic per pair, so duplicate
-    // candidates (pairs agreeing on several chunks) collapse identically —
-    // and the dedup shuffle then carries only the few verified survivors,
-    // not every candidate the banding emitted. The verify itself is one
-    // xor + popcount on the numeric sketch, not 16 substring compares.
+    hammingBandedPairs(sh.select(col("doc_id"), col("sim_num"),
+      array((0 until chunks).map(c =>
+        substring(col("simhash"), c * chunkLen + 1, chunkLen)): _*).as("keys")),
+      maxHamming)
+  }
+
+  /**
+   * Shared band-join-verify core for both SimHash widths: explode the
+   * chunk keys, self-join on (chunk position, key), verify BEFORE dedup —
+   * hamming is deterministic per pair, so duplicate candidates (pairs
+   * agreeing on several chunks) collapse identically, and the dedup
+   * shuffle carries only the few verified survivors, not every candidate
+   * the banding emitted. The verify is one xor + popcount on the numeric
+   * sketch. Input (doc_id, sim_num, keys) is persisted here: both join
+   * sides read it, and recomputing it means two full sketch scans.
+   */
+  private def hammingBandedPairs(sketches: DataFrame, maxHamming: Int): DataFrame = {
+    val sk = sketches.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sk.select(col("doc_id"), col("sim_num"),
+      posexplode(col("keys")).as(Seq("chunk", "key")))
     banded.select(col("doc_id").as("doc_a"), col("sim_num").as("num_a"),
         col("chunk"), col("key"))
       .join(banded.select(col("doc_id").as("doc_b"), col("sim_num").as("num_b"),
@@ -267,21 +279,13 @@ object Dedup {
    */
   def simhashNearDups64(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val chunks = 4
-    val sh = docs.select(col("doc_id"),
-      graft.functions.TextFunctions.simhash64(col("text")).as("simhash"))
-    val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until chunks).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("chunk", "key")))
-    banded.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
-        col("chunk"), col("key"))
-      .join(banded.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
-        col("chunk"), col("key")), Seq("chunk", "key"))
-      .where(col("doc_a") < col("doc_b"))
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
-      .where(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
-      .dropDuplicates("doc_a", "doc_b")
+    hammingBandedPairs(docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.simhash64(col("text")).as("sim_num"))
+      .select(col("doc_id"), col("sim_num"),
+        array((0 until chunks).map(c =>
+          shiftright(col("sim_num"), c * 16).bitwiseAND(lit(0xffffL))): _*).as("keys")),
+      maxHamming)
   }
 
   // ------------------------------------------------- embedding near-dup

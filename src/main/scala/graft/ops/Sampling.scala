@@ -81,13 +81,16 @@ object Sampling {
    * regexp_replace projection — narrow, no UDF; extend the pattern list
    * for phone numbers / ids as policy requires.
    */
+  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val UrlRe = "https?://[^\\s]+"
+
   def scrubText(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("scrubbed",
-      regexp_replace(
-        regexp_replace(col(textCol),
-          "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
-        "https?://[^\\s]+", "<URL>"))
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"), UrlRe, "<URL>"))
+      // counted on the INPUT, not the output: a pre-existing literal
+      // '<EMAIL>' in the text is not a redaction, and an email inside a URL
+      // is two pattern hits even though the URL replace swallows its token
       .withColumn("n_redactions",
-        (size(split(col("scrubbed"), "<EMAIL>", -1)) - 1 +
-          size(split(col("scrubbed"), "<URL>", -1)) - 1).cast("long"))
+        (regexp_count(col(textCol), lit(EmailRe)) +
+          regexp_count(col(textCol), lit(UrlRe))).cast("long"))
 }

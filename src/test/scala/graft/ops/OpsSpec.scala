@@ -261,12 +261,17 @@ class OpsSpec extends AnyFunSuite {
     import spark.implicits._
     val d = Seq(
       (1L, "contact me at alice.smith+x@ex-ample.org or https://ex.org/a?b=1 thanks"),
-      (2L, "no pii here at all")).toDF("doc_id", "text")
+      (2L, "no pii here at all"),
+      (3L, "I typed <EMAIL> literally"), // pre-existing token is NOT a redaction
+      (4L, "see https://ex.org/u/a@b.com now")). // email inside a URL: two hits
+      toDF("doc_id", "text")
     val got = Sampling.scrubText(d).collect()
       .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
     assert(got(1L)._1 == "contact me at <EMAIL> or <URL> thanks")
     assert(got(1L)._2 == 2L)
     assert(got(2L) == (("no pii here at all", 0L)))
+    assert(got(3L) == (("I typed <EMAIL> literally", 0L)))
+    assert(got(4L)._2 == 2L)
   }
 
   test("text analysis columns are well-formed on the real corpus") {

@@ -144,6 +144,62 @@ class CodecFuzzSpec extends AnyFunSuite {
 
   // -------------------------------------------- targeted grammar edge cases
 
+  test("json-ld: compact form with @context prefixes and @graph wrapper parses") {
+    val doc =
+      """{
+        |  "@context": {"sdo": "https://schema.org/", "name": "https://schema.org/name"},
+        |  "@graph": [
+        |    {"@id": "http://ex/a", "sdo:jobTitle": "Engineer",
+        |     "name": {"@value": "Alice", "@language": "en"}},
+        |    {"@id": "http://ex/b", "sdo:knows": {"@id": "http://ex/a"},
+        |     "sdo:age": 42}
+        |  ]
+        |}""".stripMargin
+    val g = JsonLdCodec.parse(doc)
+    val ts = g.triples.toSet
+    assert(ts.contains(Triple(RdfTerm.iri("http://ex/a"),
+      RdfTerm.iri("https://schema.org/jobTitle"), RdfTerm.lit("Engineer"))))
+    assert(ts.contains(Triple(RdfTerm.iri("http://ex/a"),
+      RdfTerm.iri("https://schema.org/name"), RdfTerm.lang("Alice", "en"))))
+    assert(ts.contains(Triple(RdfTerm.iri("http://ex/b"),
+      RdfTerm.iri("https://schema.org/knows"), RdfTerm.iri("http://ex/a"))))
+    assert(ts.contains(Triple(RdfTerm.iri("http://ex/b"),
+      RdfTerm.iri("https://schema.org/age"), RdfTerm.typed("42", Ns.xsdInteger))))
+  }
+
+  test("rdf/xml: rdf:ID, parseType=Resource, and nested node elements parse") {
+    val doc =
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://ex.org/v#">
+        |  <rdf:Description rdf:ID="frag">
+        |    <ex:knows>
+        |      <ex:Person rdf:about="http://ex.org/p1">
+        |        <ex:name>Nested</ex:name>
+        |      </ex:Person>
+        |    </ex:knows>
+        |    <ex:address rdf:parseType="Resource">
+        |      <ex:city>Springfield</ex:city>
+        |    </ex:address>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin
+    val g = RdfXmlCodec.parse(doc)
+    val ts = g.triples
+    // rdf:ID subject
+    assert(ts.exists(t => t.s.value == "#frag" && t.p.value == "http://ex.org/v#knows"
+      && t.o.value == "http://ex.org/p1"))
+    // typed nested node element emits rdf:type + its own properties
+    assert(ts.contains(Triple(RdfTerm.iri("http://ex.org/p1"),
+      RdfTerm.iri(Ns.rdfType), RdfTerm.iri("http://ex.org/v#Person"))))
+    assert(ts.contains(Triple(RdfTerm.iri("http://ex.org/p1"),
+      RdfTerm.iri("http://ex.org/v#name"), RdfTerm.lit("Nested"))))
+    // parseType=Resource introduces a bnode with the inner property
+    val addr = ts.find(t => t.p.value == "http://ex.org/v#address").get
+    assert(addr.o.isBNode)
+    assert(ts.contains(Triple(addr.o, RdfTerm.iri("http://ex.org/v#city"),
+      RdfTerm.lit("Springfield"))))
+  }
+
   test("turtle: PN_LOCAL escapes and percent sequences parse per W3C §6.5") {
     val doc =
       """@prefix ex: <http://ex.org/> .

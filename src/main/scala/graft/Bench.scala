@@ -41,7 +41,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Machine-parseable artifact: the stdout line rides behind sbt's
+    // "[info] " prefix, which log-tail parsers miss — the same JSON is
+    // therefore also written to a file ($SPARK_GRAFT_OUT or the cwd).
+    val outFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_OUT", "."), "bench.json")
+    java.nio.file.Files.writeString(outFile, json + "\n")
     spark.stop()
   }
 }

@@ -66,7 +66,52 @@ object Dedup {
   private def bandKey(b: Int): Column =
     md5(concat_ws("|", (0 until LshRows).map(r => col(s"sig_${b * LshRows + r}")): _*))
 
+  /**
+   * Largest LSH band-bucket size for a signature table (0 when no bucket
+   * has two members). Used by the verify harness to assert the SQL oracle's
+   * full-quadratic-expansion model and [[lshCandidatePairs]]'s star-expanded
+   * >maxBucket branch cannot silently diverge on the data under test.
+   */
+  def maxBandBucket(signatures: DataFrame): Long = {
+    val banded = signatures.select(
+      col("doc_id"),
+      posexplode(array((0 until LshBands).map(bandKey): _*)).as(Seq("band", "key")))
+    banded.groupBy("band", "key").agg(count(lit(1)).as("n"))
+      .agg(coalesce(max("n"), lit(0L))).head().getLong(0)
+  }
+
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /**
+   * Oversize-bucket logging WITHOUT a dedicated driver job: the sizing
+   * aggregate carries an `observe` metric (CollectMetrics rides the
+   * existing job — the counts table is persisted, so the metric fires once
+   * at first materialization, not per consumer), and a once-per-session
+   * QueryExecutionListener surfaces it as a warn. Lazy by design: the
+   * warning lands when the query actually executes.
+   */
+  private val guardListenerSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  private def ensureGuardListener(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (guardListenerSessions.add(spark)) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit =
+          qe.observedMetrics.get("lsh_bucket_guard").foreach { row =>
+            val oversize = if (row.isNullAt(0)) 0L else row.getLong(0)
+            if (oversize > 0)
+              log.warn(s"lshCandidatePairs: $oversize bucket(s) exceed maxBucket=${row.getInt(1)} " +
+                s"(largest: ${row.getLong(2)} members); emitting star pairs (member, bucket-min) " +
+                "for them instead of full quadratic expansion")
+          }
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = ()
+      })
+    }
 
   /**
    * MinHash-LSH candidate pairs: documents sharing at least one band bucket.
@@ -105,14 +150,17 @@ object Dedup {
       col("doc_id"),
       posexplode(array((0 until LshBands).map(bandKey): _*)).as(Seq("band", "key")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ensureGuardListener(signatures.sparkSession)
     val counts = banded.groupBy("band", "key")
       .agg(count(lit(1)).as("n"), min("doc_id").as("rep"))
       .where(col("n") >= 2)
+      // the oversize warning rides this aggregate (no dedicated count job);
+      // metric column order is pinned by the listener above
+      .observe("lsh_bucket_guard",
+        sum(when(col("n") > maxBucket, 1L)).as("oversize_buckets"),
+        max(lit(maxBucket)).as("max_bucket"),
+        max(col("n")).as("largest_bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nOversize = counts.where(col("n") > maxBucket).count()
-    if (nOversize > 0)
-      log.warn(s"lshCandidatePairs: $nOversize bucket(s) exceed maxBucket=$maxBucket; " +
-        "emitting star pairs (member, bucket-min) for them instead of full quadratic expansion")
     val small = banded
       .join(counts.where(col("n") <= maxBucket).select("band", "key"), Seq("band", "key"))
       .groupBy("band", "key")
@@ -232,11 +280,11 @@ object Dedup {
     // BIGRAM sketch input: on a shared-vocabulary corpus unigram-token
     // sketches collide en masse (measured: 35k candidate pairs from 500
     // docs) — the same degeneracy bigram shingling fixes for MinHash.
-    // Persisted: both join sides read it, and recomputing means two full
-    // shingle explodes (same rationale as lshCandidatePairs' banded table).
+    // NOT persisted here: this frame is consumed exactly once, by
+    // hammingBandedPairs, which persists its own derived input covering
+    // both join sides (a second cache entry was pure overhead).
     val sh = simhashOver(bigramShingles(docs))
       .withColumn("sim_num", conv(col("simhash"), 2, 10).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hammingBandedPairs(sh.select(col("doc_id"), col("sim_num"),
       array((0 until chunks).map(c =>
         substring(col("simhash"), c * chunkLen + 1, chunkLen)): _*).as("keys")),

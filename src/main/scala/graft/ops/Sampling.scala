@@ -60,19 +60,85 @@ object Sampling {
    * Sequence packing for context-window assembly: within each stratum,
    * documents in stable key order are assigned to consecutive bins by the
    * running token count — `bin = floor((cumsum(tokens) - tokens) /
-   * capacity)` (i.e. the bin the document STARTS in). One window shuffle
-   * per stratum, deterministic, no driver loop — the distributed
-   * approximation of greedy sequence packing (bins may straddle capacity
-   * by at most one document, the standard streaming-packing relaxation).
+   * capacity)` (i.e. the bin the document STARTS in). Deterministic, no
+   * driver loop — the distributed approximation of greedy sequence packing
+   * (bins may straddle capacity by at most one document, the standard
+   * streaming-packing relaxation). Token values must be non-null.
+   *
+   * Scale design — a TWO-PASS DISTRIBUTED PREFIX SUM, not a per-stratum
+   * window: `Window.partitionBy(stratum)` puts each stratum on ONE task, so
+   * with a handful of languages a 100 TB corpus would funnel through a
+   * handful of reducers sorting and scanning serially. Instead:
+   *
+   *   1. ONE range shuffle orders rows by (stratum, key) across ALL
+   *      shuffle partitions (a stratum spans many partitions, sorted within
+   *      each). The result is persisted — load-bearing, not a cache hint:
+   *      it pins the sampled range boundaries so both passes observe the
+   *      SAME physical partitioning (a production pipeline materializes
+   *      this stage to a table instead, as Pipeline does).
+   *   2. A per-(partition, stratum) token-subtotal aggregate — at most
+   *      `partitions x strata` rows — is collected, cumulative offsets are
+   *      computed on the driver and broadcast.
+   *   3. A NARROW per-partition scan resumes each partition's running sum
+   *      from its broadcast offset and assigns bins.
+   *
+   * Identical output to the window formulation (verified by the q_pack
+   * oracle), with per-task work bounded by partition size, never by
+   * stratum size.
    */
   def packSequences(docs: DataFrame, stratumCol: String, tokenCol: String,
-                    capacity: Int, keyCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(stratumCol).orderBy(col(keyCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col(keyCol), col(stratumCol), col(tokenCol))
-      .withColumn("cum_tokens", sum(col(tokenCol)).over(w).cast("long"))
-      .withColumn("bin",
-        floor((col("cum_tokens") - col(tokenCol)) / capacity).cast("long"))
+                    capacity: Int, keyCol: String = "doc_id",
+                    numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = docs.sparkSession
+    val nPart =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val base = docs.select(col(keyCol), col(stratumCol), col(tokenCol))
+    val parted = base
+      .repartitionByRange(nPart, col(stratumCol), col(keyCol))
+      .sortWithinPartitions(col(stratumCol), col(keyCol))
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-(partition, stratum) subtotals -> driver-side scan-left.
+    // Range partitioning places lower (stratum, key) ranges in lower
+    // partition ids, so a stratum's offset for partition p is the sum of
+    // its subtotals in partitions < p.
+    val subtotals = parted.groupBy(col("_pid"), col(stratumCol))
+      .agg(sum(col(tokenCol)).cast("long").as("sub"))
+      .collect()
+      .map(r => (r.getInt(0), r.get(1)) -> r.getLong(2))
+    val offsets: Map[(Int, Any), Long] = subtotals
+      .groupBy(_._1._2)
+      .flatMap { case (_, rows) =>
+        val inOrder = rows.sortBy(_._1._1)
+        inOrder.map(_._1).zip(inOrder.scanLeft(0L)(_ + _._2))
+      }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = StructType(base.schema.fields ++ Seq(
+      StructField("cum_tokens", LongType, nullable = false),
+      StructField("bin", LongType, nullable = false)))
+    val cap = capacity.toLong
+    // pass 2: narrow scan — rows arrive sorted by (stratum, key); resume
+    // the running sum from the broadcast offset at each stratum change
+    parted.mapPartitions { rows =>
+      val off = bc.value
+      var cur: Any = null
+      var started = false
+      var run = 0L
+      rows.map { r =>
+        val pid = r.getInt(3)
+        val st = r.get(1)
+        if (!started || st != cur) {
+          cur = st; started = true
+          run = off.getOrElse((pid, st), 0L)
+        }
+        val tok = r.getAs[Number](2).longValue()
+        run += tok
+        Row(r.get(0), st, r.get(2), run, Math.floorDiv(run - tok, cap))
+      }
+    }(Encoders.row(outSchema))
   }
 
   /**

@@ -28,18 +28,21 @@ object DistributedRdf {
   /**
    * Distributed N-Triples scan: splittable text source, per-line parse.
    *
-   * With `saltPerFile = true` (default), blank-node labels are salted with
-   * a per-source-file token (64-bit FNV-1a of the path — a 32-bit hash
-   * collides near 10^5 files): NT bnode labels are document-scoped, so
-   * identical labels in different files of a multi-file glob are DISTINCT
-   * nodes — rdflib's fresh-bnodes-per-parse merge semantics.
+   * The default (`saltPerFile = false`) treats the whole path as ONE
+   * logical document/label space — the round-trip contract for reading
+   * back a [[writeNt]] output directory, where salting would silently
+   * split a blank node whose triples straddle a shard boundary into two
+   * nodes (the data-corrupting direction; hence the conservative default).
    *
-   * Pass `saltPerFile = false` when the directory is ONE logical document
-   * sharded by a previous [[writeNt]] (shards share a label space; salting
-   * would split a bnode whose triples straddle a shard boundary).
+   * With `saltPerFile = true` (or [[readNtMerged]]), blank-node labels are
+   * salted with a per-source-file token (64-bit FNV-1a of the path — a
+   * 32-bit hash collides near 10^5 files): NT bnode labels are
+   * document-scoped, so identical labels in different files of a
+   * multi-file glob are DISTINCT nodes — rdflib's
+   * fresh-bnodes-per-parse MERGE semantics, opt-in.
    */
   def readNt(spark: SparkSession, path: String,
-             saltPerFile: Boolean = true): Dataset[TripleRow] = {
+             saltPerFile: Boolean = false): Dataset[TripleRow] = {
     import spark.implicits._
     if (!saltPerFile)
       spark.read.textFile(path).mapPartitions { lines =>
@@ -56,6 +59,16 @@ object DistributedRdf {
           }
         }
   }
+
+  /**
+   * Multi-file N-Triples MERGE read: each source file is its own bnode
+   * label space (per-file salting), matching rdflib's
+   * fresh-bnode-ids-per-parse behavior when merging independent documents
+   * (SURVEY O6). Use [[readNt]] (unsalted) to read back one [[writeNt]]
+   * output directory.
+   */
+  def readNtMerged(spark: SparkSession, path: String): Dataset[TripleRow] =
+    readNt(spark, path, saltPerFile = true)
 
   /** FNV-1a 64-bit — stable, dependency-free path hash for bnode salts. */
   private def fnv64(s: String): Long = {

@@ -104,8 +104,23 @@ object RdfIo {
   private def hPath(uri: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(uri)
 
+  /**
+   * Hadoop configuration for driver-side IO: the ACTIVE SparkSession's
+   * `sparkContext.hadoopConfiguration` when one exists (it carries every
+   * `spark.hadoop.*` setting — s3a credentials/endpoints, HDFS
+   * nameservices; a bare `new Configuration()` silently drops them and
+   * breaks the advertised s3a://hdfs:// parity for Spark-configured
+   * sessions), falling back to a plain Configuration for session-less
+   * library use (the pure-codec CLI paths).
+   */
+  def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   private def fsFor(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    p.getFileSystem(hadoopConf())
 
   private def readBytes(uri: String): Array[Byte] = {
     val p = hPath(uri)

@@ -245,6 +245,43 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("top-k per group plan keeps the map-side WindowGroupLimit pushdown") {
+    // Spark 4's WindowGroupLimit pushes the rank<=k filter map-side, which
+    // is what bounds few-group skew at k rows/group/task — a refactor that
+    // silently loses it would make topKPerGroup funnel whole groups through
+    // single reducers at scale.
+    val plan = Sampling.topKPerGroup(
+      docs.select(col("doc_id"), col("lang"), col("n_chars")), "lang", "n_chars", 3)
+      .queryExecution.optimizedPlan.toString()
+    assert(plan.contains("WindowGroupLimit"), s"WindowGroupLimit missing from plan:\n$plan")
+  }
+
+  test("sequence packing plan has NO per-stratum window (distributed prefix sum)") {
+    import spark.implicits._
+    val d = Seq((1L, "en", 3000L), (2L, "en", 3000L)).toDF("doc_id", "lang", "n_chars")
+    val plan = Sampling.packSequences(d, "lang", "n_chars", 4096)
+      .queryExecution.optimizedPlan.toString()
+    // a Window.partitionBy(stratum) running sum = ONE sequential task per
+    // stratum — the 100x-scale killer the two-pass prefix sum removes
+    assert(!plan.contains("Window"), s"unexpected Window node in plan:\n$plan")
+  }
+
+  test("sequence packing matches the window formulation across many partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // adversarial layout: few strata, many partitions, keys arriving shuffled
+    val rows = (0 until 1000).map(i => ((i * 7919) % 1000L, s"l${i % 3}", (i % 97 + 1).toLong))
+    val d = rows.toDF("doc_id", "lang", "n_chars").repartition(16)
+    val got = Sampling.packSequences(d, "lang", "n_chars", 512, numPartitions = 13)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = d.withColumn("cum_tokens", sum(col("n_chars")).over(w).cast("long"))
+      .withColumn("bin", floor((col("cum_tokens") - col("n_chars")) / 512).cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected)
+  }
+
   test("sequence packing: bins respect the running-size relaxation, deterministic") {
     import spark.implicits._
     val d = Seq((1L, "en", 3000L), (2L, "en", 3000L), (3L, "en", 3000L),

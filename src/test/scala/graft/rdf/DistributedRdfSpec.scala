@@ -12,15 +12,15 @@ class DistributedRdfSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  test("readNt over a multi-file glob keeps same-label bnodes distinct per file") {
+  test("readNtMerged over a multi-file glob keeps same-label bnodes distinct per file") {
     val dir = Files.createTempDirectory("graftnt")
     // identical bnode label _:b0 in two files = two distinct nodes (rdflib
-    // fresh-bnodes-per-parse merge semantics)
+    // fresh-bnodes-per-parse merge semantics — the opt-in merge read)
     Files.write(dir.resolve("a.nt"),
       "_:b0 <http://ex/p> \"va\" .\n".getBytes(StandardCharsets.UTF_8))
     Files.write(dir.resolve("b.nt"),
       "_:b0 <http://ex/p> \"vb\" .\n".getBytes(StandardCharsets.UTF_8))
-    val rows = DistributedRdf.readNt(spark, dir.toString + "/*.nt").collect()
+    val rows = DistributedRdf.readNtMerged(spark, dir.toString + "/*.nt").collect()
     assert(rows.length == 2)
     val subjects = rows.map(_.s).toSet
     assert(subjects.size == 2, s"bnode labels conflated across files: $subjects")
@@ -52,7 +52,7 @@ class DistributedRdfSpec extends AnyFunSuite {
     }
   }
 
-  test("readNt(saltPerFile = false) keeps one label space across shards of one document") {
+  test("readNt default keeps one label space across shards of one document (round-trip)") {
     // one bnode's triples deliberately split across two shard files (what
     // writeNt produces when a bnode's triples straddle a partition boundary)
     val dir = Files.createTempDirectory("graftntrt")
@@ -60,11 +60,12 @@ class DistributedRdfSpec extends AnyFunSuite {
       "_:b0 <http://ex/p> \"v1\" .\n".getBytes(StandardCharsets.UTF_8))
     Files.write(dir.resolve("part-00001.nt"),
       "_:b0 <http://ex/p> \"v2\" .\n".getBytes(StandardCharsets.UTF_8))
-    val back = DistributedRdf.readNt(spark, dir.toString + "/part-*", saltPerFile = false).collect()
+    // DEFAULT read = round-trip semantics: one node, not two
+    val back = DistributedRdf.readNt(spark, dir.toString + "/part-*").collect()
     assert(back.length == 2)
     assert(back.map(_.s).toSet == Set("b0")) // one node, not two
-    // default (independent-files semantics) splits it — documented behavior
-    val salted = DistributedRdf.readNt(spark, dir.toString + "/part-*").collect()
+    // the opt-in merge read (independent-files semantics) splits it
+    val salted = DistributedRdf.readNtMerged(spark, dir.toString + "/part-*").collect()
     assert(salted.map(_.s).toSet.size == 2)
   }
 

@@ -4,7 +4,6 @@ import graft.model._
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 /**
@@ -79,56 +78,87 @@ object GraphCatalog {
     if (isWorkflowUrn(graphIri)) graphFromWorkflow(graphIri) else graphIri
 }
 
+/**
+ * All catalog metadata IO goes through `org.apache.hadoop.fs.FileSystem`
+ * with the session's Hadoop configuration, so the catalog root may be ANY
+ * Hadoop-supported URI — `file://`, `hdfs://`, `s3a://` — the same
+ * one-code-path contract as the rest of the repo's IO. Commit protocol is
+ * rename-based: atomic on HDFS and local filesystems; on S3 a rename is
+ * copy+delete (not atomic), so an S3-rooted catalog gets
+ * read-committed-or-previous but not concurrent-writer safety — the same
+ * caveat as Hadoop output committers there; production object-store
+ * deployments put the (tiny) snapshot log on a filesystem with atomic
+ * rename or swap in an `IcebergCatalog`.
+ *
+ * Layout: manifests live in PER-GRAPH subdirectories
+ * (`_snapshots/<enc(iri)>/<id>.json`), so resolving one graph lists only
+ * that graph's snapshots — a million-graph catalog never lists one flat
+ * directory. Snapshot ids are parsed and compared NUMERICALLY (names are
+ * zero-padded for human-friendly lexicographic ordering, but nothing
+ * depends on the padding width).
+ */
 final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends GraphCatalog {
-  private val rootPath = Paths.get(root)
-  private val dataDir = rootPath.resolve("data")
-  private val snapDir = rootPath.resolve("_snapshots")
-  Files.createDirectories(dataDir)
-  Files.createDirectories(snapDir)
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+  private val rootPath = new HPath(root)
+  private val dataDir = new HPath(rootPath, "data")
+  private val snapDir = new HPath(rootPath, "_snapshots")
+  private def fs: FileSystem = rootPath.getFileSystem(conf)
+  fs.mkdirs(dataDir)
+  fs.mkdirs(snapDir)
 
   private def enc(iri: String): String =
     java.net.URLEncoder.encode(iri, "UTF-8")
 
-  private def graphDataDir(iri: String): Path = dataDir.resolve(enc(iri))
+  private def graphDataDir(iri: String): HPath = new HPath(dataDir, enc(iri))
+  private def graphSnapDir(iri: String): HPath = new HPath(snapDir, enc(iri))
 
-  /**
-   * Latest committed snapshot manifest for a graph, if any. Manifest names
-   * are matched against the exact `<enc(iri)>.<9-digit-id>.json` pattern —
-   * URLEncoder leaves '.' unencoded, so a bare startsWith prefix test would
-   * let a graph IRI that is a dot-prefix of another (e.g. `urn:g` vs
-   * `urn:g.x`) silently resolve to the other graph's snapshots.
-   */
-  private def latestSnapshot(iri: String): Option[Path] = {
-    val pat = java.util.regex.Pattern.compile(
-      java.util.regex.Pattern.quote(enc(iri)) + "\\.\\d{9}\\.json")
-    val files =
-      if (!Files.isDirectory(snapDir)) Vector.empty
-      else {
-        val s = Files.list(snapDir)
-        try s.iterator().asScala.toVector.filter(p => pat.matcher(p.getFileName.toString).matches())
-        finally s.close()
-      }
-    files.sortBy(_.getFileName.toString).lastOption
+  private val ManifestName = java.util.regex.Pattern.compile("(\\d+)\\.json")
+
+  /** Committed (id, manifest) pairs for a graph, ascending by NUMERIC id. */
+  private def snapshotManifests(iri: String): Vector[(Long, HPath)] = {
+    val dir = graphSnapDir(iri)
+    if (!fs.exists(dir)) Vector.empty
+    else fs.listStatus(dir).toVector.flatMap { st =>
+      val m = ManifestName.matcher(st.getPath.getName)
+      if (st.isFile && m.matches()) Some(m.group(1).toLong -> st.getPath) else None
+    }.sortBy(_._1)
   }
 
-  private def parseManifest(p: Path): Map[String, String] = {
+  private def latestSnapshot(iri: String): Option[(Long, HPath)] =
+    snapshotManifests(iri).lastOption
+
+  private def readManifestBytes(p: HPath): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  private def parseManifest(p: HPath): Map[String, String] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.readTree(Files.readAllBytes(p))
+    val node = mapper.readTree(readManifestBytes(p))
     node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
   }
 
   /**
    * Commit: write parquet to a versioned dir, then atomically publish the
-   * manifest. Returns the snapshot id. Exactly-once: if the job dies before
-   * the rename, the partial dir is invisible (no manifest names it) and a
+   * manifest (write-temp + rename; see class Scaladoc for the S3 caveat).
+   * Returns the snapshot id. Exactly-once: if the job dies before the
+   * rename, the partial dir is invisible (no manifest names it) and a
    * rerun re-commits the next id.
    */
   def write(graphIri: String, triples: DataFrame, overwrite: Boolean = true,
             leadingComments: Seq[String] = Nil): Long = {
     val resolved = GraphCatalog.resolveGraphIri(graphIri)
-    val prevId = latestSnapshot(resolved).map(m => parseManifest(m)("snapshot_id").toLong).getOrElse(0L)
+    val prevId = latestSnapshot(resolved).map(_._1).getOrElse(0L)
     val id = prevId + 1
-    val target = graphDataDir(resolved).resolve(s"v$id")
+    val target = new HPath(graphDataDir(resolved), s"v$id")
     val toWrite =
       if (overwrite || prevId == 0) triples
       else {
@@ -140,10 +170,14 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
     val manifest =
       s"""{"graph_iri": ${jstr(resolved)}, "snapshot_id": "$id", "path": ${jstr(target.toString)},
          | "leading_comments": ${jarr(leadingComments)}}""".stripMargin
-    val tmp = snapDir.resolve(s".tmp-${enc(resolved)}.$id")
-    Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, snapDir.resolve(f"${enc(resolved)}.$id%09d.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    val dir = graphSnapDir(resolved)
+    fs.mkdirs(dir)
+    val tmp = new HPath(dir, s".tmp-$id")
+    val os = fs.create(tmp, true)
+    try os.write(manifest.getBytes(StandardCharsets.UTF_8)) finally os.close()
+    if (!fs.rename(tmp, new HPath(dir, f"$id%09d.json")))
+      throw new java.io.IOException(
+        s"snapshot commit rename failed for graph $resolved id $id (concurrent writer?)")
     id
   }
 
@@ -160,20 +194,21 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
   def read(graphIri: String): (Seq[String], DataFrame) = {
     val resolved = GraphCatalog.resolveGraphIri(graphIri)
     val manifest = latestSnapshot(resolved).getOrElse(
-      throw new IllegalArgumentException(s"No such graph: $resolved"))
+      throw new IllegalArgumentException(s"No such graph: $resolved"))._2
     readManifest(manifest)
   }
 
-  private def readManifest(manifest: Path): (Seq[String], DataFrame) = {
-    val m = parseManifest(manifest)
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val comments = {
-      val node = mapper.readTree(Files.readAllBytes(manifest))
-      if (node.has("leading_comments"))
-        node.get("leading_comments").elements().asScala.map(_.asText()).toSeq
-      else Nil
+  private def readManifest(manifest: HPath): (Seq[String], DataFrame) = {
+    val bytes = readManifestBytes(manifest)
+    val m = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      mapper.readTree(bytes)
     }
-    (comments, spark.read.parquet(m("path")))
+    val comments =
+      if (m.has("leading_comments"))
+        m.get("leading_comments").elements().asScala.map(_.asText()).toSeq
+      else Nil
+    (comments, spark.read.parquet(m.get("path").asText()))
   }
 
   /** Time travel: every snapshot's data dir and manifest are immutable
@@ -181,26 +216,15 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
     * the Iceberg semantic the ParquetSnapshotFormat stands in for. */
   def readAt(graphIri: String, snapshotId: Long): (Seq[String], DataFrame) = {
     val resolved = GraphCatalog.resolveGraphIri(graphIri)
-    val p = snapDir.resolve(f"${enc(resolved)}.$snapshotId%09d.json")
-    if (!Files.exists(p))
-      throw new IllegalArgumentException(s"No snapshot $snapshotId for graph: $resolved")
-    readManifest(p)
+    snapshotManifests(resolved).find(_._1 == snapshotId) match {
+      case Some((_, p)) => readManifest(p)
+      case None =>
+        throw new IllegalArgumentException(s"No snapshot $snapshotId for graph: $resolved")
+    }
   }
 
-  def snapshots(graphIri: String): Seq[Long] = {
-    val pat = java.util.regex.Pattern.compile(
-      java.util.regex.Pattern.quote(enc(GraphCatalog.resolveGraphIri(graphIri))) + "\\.(\\d{9})\\.json")
-    val files =
-      if (!Files.isDirectory(snapDir)) Vector.empty
-      else {
-        val s = Files.list(snapDir)
-        try s.iterator().asScala.toVector finally s.close()
-      }
-    files.flatMap { p =>
-      val m = pat.matcher(p.getFileName.toString)
-      if (m.matches()) Some(m.group(1).toLong) else None
-    }.sorted
-  }
+  def snapshots(graphIri: String): Seq[Long] =
+    snapshotManifests(GraphCatalog.resolveGraphIri(graphIri)).map(_._1)
 
   /**
    * Workflow-aware existence (SURVEY S6; persistence_systems.py:760-784):
@@ -220,16 +244,14 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
   def selectLimit(graphIri: String, n: Int): DataFrame =
     read(graphIri)._2.select("s", "p", "o").limit(n)
 
+  /** Graph IRIs with at least one committed snapshot — one listing of the
+    * per-graph subdirectory names, no manifest reads. */
   def graphs(): Seq[String] = {
-    val files =
-      if (!Files.isDirectory(snapDir)) Vector.empty
-      else {
-        val s = Files.list(snapDir)
-        try s.iterator().asScala.toVector finally s.close()
-      }
-    files.map(_.getFileName.toString)
-      .filter(_.endsWith(".json"))
-      .map(n => java.net.URLDecoder.decode(n.substring(0, n.lastIndexOf('.', n.length - 6)), "UTF-8"))
-      .distinct.sorted
+    if (!fs.exists(snapDir)) Vector.empty
+    else fs.listStatus(snapDir).toVector
+      .filter(_.isDirectory)
+      .map(st => java.net.URLDecoder.decode(st.getPath.getName, "UTF-8"))
+      .filter(iri => latestSnapshot(iri).isDefined)
+      .sorted
   }
 }

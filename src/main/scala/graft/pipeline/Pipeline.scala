@@ -6,7 +6,7 @@ import graft.rdf.{DistributedRdf, RdfFormat}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 /**
  * End-to-end KG-construction pipeline (BASELINE.json north_star T1-T7):
@@ -32,17 +32,38 @@ object Pipeline {
       stage: String, rows: Long, partitions: Int, seconds: Double,
       rows_per_sec: Double, input_stages: String)
 
+  /**
+   * Stage commits go through `org.apache.hadoop.fs.FileSystem` with the
+   * session's Hadoop configuration, so `workDir` may be ANY Hadoop URI
+   * (file://, hdfs://, s3a://) — the same contract as the data writes.
+   * Commit = write `._COMMIT.tmp` + rename: atomic on HDFS/local; on S3 a
+   * rename is copy+delete, so a concurrently-resumed job could observe a
+   * torn commit there (same caveat as ParquetSnapshotCatalog — pin the tiny
+   * manifest root to an atomic-rename filesystem in production).
+   */
   final class Runner(spark: SparkSession, workDir: String) {
     private val metrics = scala.collection.mutable.ArrayBuffer.empty[StageMetric]
+    private def fs: FileSystem =
+      new HPath(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    private def stageDir(name: String) = Paths.get(workDir, name)
-    private def manifest(name: String) = stageDir(name).resolve("_COMMIT.json")
+    private def stageDir(name: String) = new HPath(workDir, name)
+    private def manifest(name: String) = new HPath(stageDir(name), "_COMMIT.json")
 
-    def isDone(name: String): Boolean = Files.exists(manifest(name))
+    def isDone(name: String): Boolean = fs.exists(manifest(name))
+
+    private[pipeline] def commitMarker(name: String, body: String): Unit = {
+      val dir = stageDir(name)
+      fs.mkdirs(dir)
+      val tmp = new HPath(dir, "._COMMIT.tmp")
+      val os = fs.create(tmp, true)
+      try os.write(body.getBytes(StandardCharsets.UTF_8)) finally os.close()
+      if (!fs.rename(tmp, manifest(name)))
+        throw new java.io.IOException(s"stage commit rename failed for $name (concurrent run?)")
+    }
 
     /** Run (or resume) a stage: compute, commit, return the committed data. */
     def stage(name: String, inputs: Seq[String])(compute: => DataFrame): DataFrame = {
-      val dataPath = stageDir(name).resolve("data").toString
+      val dataPath = new HPath(stageDir(name), "data").toString
       if (isDone(name)) {
         val df = spark.read.parquet(dataPath)
         metrics += StageMetric(name, -1L, df.rdd.getNumPartitions, 0.0, 0.0,
@@ -55,10 +76,7 @@ object Pipeline {
       val out = spark.read.parquet(dataPath)
       val rows = out.count()
       val secs = (System.nanoTime() - t0) / 1e9
-      val m = s"""{"stage": "$name", "rows": $rows, "seconds": $secs}"""
-      val tmp = stageDir(name).resolve("._COMMIT.tmp")
-      Files.write(tmp, m.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, manifest(name), StandardCopyOption.ATOMIC_MOVE)
+      commitMarker(name, s"""{"stage": "$name", "rows": $rows, "seconds": $secs}""")
       metrics += StageMetric(name, rows, out.rdd.getNumPartitions, secs,
         if (secs > 0) rows / secs else 0.0, inputs.mkString(","))
       out
@@ -87,25 +105,35 @@ object Pipeline {
     * pipeline configuration: resuming with a different `dedupFirst` would
     * silently reuse the other configuration's committed t0 output. The
     * config manifest makes that an error instead. */
-  private def checkConfig(workDir: String, dedupFirst: Boolean): Unit = {
-    val p = Paths.get(workDir, "_CONFIG.json")
+  private def checkConfig(spark: SparkSession, workDir: String, dedupFirst: Boolean): Unit = {
+    val fs = new HPath(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new HPath(workDir, "_CONFIG.json")
     val cfg = s"""{"dedup_first": $dedupFirst}"""
-    if (Files.exists(p)) {
-      val prev = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val prev =
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          new String(out.toByteArray, StandardCharsets.UTF_8)
+        } finally in.close()
       if (prev != cfg)
         throw new IllegalArgumentException(
           s"workDir $workDir was created with config $prev; rerun with the same " +
             s"configuration or use a fresh workDir (requested $cfg)")
     } else {
-      Files.createDirectories(Paths.get(workDir))
-      Files.write(p, cfg.getBytes(StandardCharsets.UTF_8))
+      fs.mkdirs(new HPath(workDir))
+      val os = fs.create(p, true)
+      try os.write(cfg.getBytes(StandardCharsets.UTF_8)) finally os.close()
     }
   }
 
   def run(spark: SparkSession, sfDir: String, workDir: String,
           dedupFirst: Boolean = false): DataFrame = {
     import spark.implicits._
-    checkConfig(workDir, dedupFirst)
+    checkConfig(spark, workDir, dedupFirst)
     val runner = new Runner(spark, workDir)
 
     val docs =
@@ -149,9 +177,7 @@ object Pipeline {
         lit(null).cast("string").as("o_dtype"),
         lit(null).cast("string").as("o_lang"))
       catalog.write("urn:graft:conversation-graph", asTripleRows)
-      val marker = Paths.get(workDir, "t5_materialize")
-      Files.createDirectories(marker)
-      Files.write(marker.resolve("_COMMIT.json"), "{}".getBytes(StandardCharsets.UTF_8))
+      runner.commitMarker("t5_materialize", "{}")
     }
 
     // T6: rdfx-compatible serialization of the (deduplicated) graph as NT shards
@@ -163,8 +189,7 @@ object Pipeline {
         lit(null).cast("string").as("o_lang"))
         .dropDuplicates("s", "p", "o", "o_kind")
       DistributedRdf.writeNt(distinctTriples, s"$workDir/t6_serialize/nt")
-      Files.write(Paths.get(workDir, "t6_serialize", "_COMMIT.json"),
-        "{}".getBytes(StandardCharsets.UTF_8))
+      runner.commitMarker("t6_serialize", "{}")
     }
 
     runner.writeMetrics()

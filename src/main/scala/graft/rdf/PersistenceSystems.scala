@@ -58,12 +58,109 @@ final class S3Store(bucketUri: String) extends FileStore(bucketUri) {
  * observable semantics — named graphs addressed by IRI/URN, set-union
  * import, ASK/COUNT/SELECT-LIMIT — live here.
  */
-final class SopStore(spark: SparkSession, catalog: GraphCatalog) extends PersistenceSystem {
+final class SopStore(spark: SparkSession, catalog: GraphCatalog,
+                     username: String = "Administrator") extends PersistenceSystem {
   val name = "SOP"
 
   private def toDf(g: ParsedGraph) = {
     import spark.implicits._
     g.triples.map(TripleRow.fromTriple).toDF()
+  }
+
+  private def emptyGraphDf = {
+    import spark.implicits._
+    spark.emptyDataset[TripleRow].toDF()
+  }
+
+  // ------------------------------------------------ asset creation surface
+  //
+  // persistence_systems.py:592-758. The reference POSTs TopBraid form data
+  // and returns the minted IRI; the observable client contract — URN shapes,
+  // name defaulting, already-exists failure — lives here over the catalog
+  // (created assets register as named graphs, so asset_exists sees them).
+  // Name defaulting diverges from the reference in exactly one sanctioned
+  // way: the default embeds a CALLER-SUPPLIED token where the reference
+  // embeds datetime.now() (this engine keeps wall-clock out of data paths
+  // for deterministic reruns).
+
+  /** Reference quirk note: the Python strips `"urn:x-evn-master"` with
+    * `str.strip` (a CHARACTER-SET strip, which can eat leading/trailing
+    * name characters from {u,r,n,x,e,v,m,a,s,t,:,-}); the intended —
+    * and here implemented — semantics is a prefix strip. */
+  private def stripMasterPrefix(n: String): String =
+    n.stripPrefix("urn:x-evn-master").stripPrefix(":")
+
+  private def defaultedName(kind: String, name: Option[String], nameToken: Option[String]): String =
+    name.map(stripMasterPrefix).filter(_.nonEmpty).getOrElse {
+      val token = nameToken.getOrElse(throw new IllegalArgumentException(
+        s"either a ${kind.toLowerCase}_name or a nameToken (the deterministic stand-in for " +
+          "the reference's datetime.now() default) is required"))
+      s"Python_created_${kind}_by_${System.getProperty("user.name")}_at_$token"
+    }
+
+  /** create_datagraph (persistence_systems.py:592-638): mint a master-graph
+    * IRI, register it in the store, return `urn:x-evn-master:<id>`. The
+    * server derives the project id from the name; locally id == name. */
+  def createDatagraph(datagraphName: Option[String] = None,
+                      description: Option[String] = None,
+                      subjectArea: Option[String] = None,
+                      defaultNamespace: Option[String] = None,
+                      nameToken: Option[String] = None): String = {
+    val n = defaultedName("Datagraph", datagraphName, nameToken)
+    val ns = defaultNamespace.getOrElse(
+      s"https://data.surroundaustralia.com/data/$n#".replace(" ", "_"))
+    val iri = s"urn:x-evn-master:$n"
+    if (!catalog.exists(iri))
+      catalog.write(iri, emptyGraphDf, leadingComments = Seq(s"baseURI: ${ns.dropRight(1)}"))
+    iri
+  }
+
+  /** create_workflow (persistence_systems.py:640-669): returns
+    * `<graph_iri>:<workflow_name>:<username>` with `urn:x-evn-master` →
+    * `urn:x-evn-tag` — the workflow URN shape graphFromWorkflow unmunges.
+    * No storage side effect: a workflow exists iff its master graph does
+    * (the reference's asset_exists delegation, :760-784). */
+  def createWorkflow(graphIri: String,
+                     workflowName: Option[String] = None,
+                     nameToken: Option[String] = None): String = {
+    val n = defaultedName("Workflow", workflowName, nameToken)
+    s"$graphIri:$n:$username".replace("urn:x-evn-master", "urn:x-evn-tag")
+  }
+
+  /** create_manifest (persistence_systems.py:671-711): identical shape to
+    * create_datagraph with manifest defaults. */
+  def createManifest(manifestName: Option[String] = None,
+                     description: Option[String] = None,
+                     subjectArea: Option[String] = None,
+                     defaultNamespace: Option[String] = None,
+                     nameToken: Option[String] = None): String = {
+    val n = defaultedName("Manifest", manifestName, nameToken)
+    val ns = defaultNamespace.getOrElse(
+      s"https://data.surroundaustralia.com/manifest/$n#".replace(" ", "_"))
+    val iri = s"urn:x-evn-master:$n"
+    if (!catalog.exists(iri))
+      catalog.write(iri, emptyGraphDf, leadingComments = Seq(s"baseURI: ${ns.dropRight(1)}"))
+    iri
+  }
+
+  /** create_file (persistence_systems.py:713-758): derive the baseURI from
+    * the file path, fail if the asset already exists (the reference's
+    * ValueError, message preserved), otherwise create the asset and import
+    * the file's graph into it; returns the baseURI. `filePathUri` may be
+    * any Hadoop URI. (The reference's no-argument default is unusable
+    * upstream — a str default then `file_path.name` raises AttributeError —
+    * so the path is required here.) */
+  def createFile(filePathUri: String,
+                 defaultNamespace: Option[String] = None): String = {
+    val ns = defaultNamespace.getOrElse(
+      s"https://data.surroundaustralia.com/file/$filePathUri#".replace(" ", "_"))
+    val baseUri = ns.dropRight(1)
+    if (assetExists(baseUri))
+      throw new IllegalArgumentException(
+        s"Asset (probably a file) already exists with baseURI: $baseUri")
+    val (comments, g) = RdfIo.readFile(filePathUri)
+    write(g, baseUri, comments)
+    baseUri
   }
 
   /** persistence_systems.py:453-488; workflow URNs import into their master

@@ -18,8 +18,10 @@ class GraphCatalogSpec extends AnyFunSuite {
       .toDF()
   }
 
-  test("write/read round trip with snapshot ids, count, ask, select") {
-    val root = Files.createTempDirectory("graftcat").toString
+  test("write/read round trip with snapshot ids, count, ask, select (file:// URI root)") {
+    // the catalog root is a Hadoop URI, not a local path — file:// here,
+    // s3a://hdfs:// in production, one code path
+    val root = "file://" + Files.createTempDirectory("graftcat").toString
     val cat = new ParquetSnapshotCatalog(spark, root)
     val iri = "urn:x-evn-master:test"
     assert(!cat.exists(iri))
@@ -102,6 +104,26 @@ class GraphCatalogSpec extends AnyFunSuite {
     cat.write("urn:g", tripleDf(5, "v1"))
     cat.write("urn:g", tripleDf(2, "v2"))
     assert(cat.count("urn:g") == 2L)
+  }
+
+  test("snapshot ids survive the 9-digit zero-pad width (numeric, not lexicographic)") {
+    // ids are parsed and compared numerically: a manifest named with MORE
+    // digits than the %09d pad (snapshot 1e9+) must stay visible and sort
+    // after id 1, not vanish and restart the id sequence
+    val root = Files.createTempDirectory("graftcat8").toString
+    val cat = new ParquetSnapshotCatalog(spark, root)
+    cat.write("urn:big", tripleDf(2, "a"))
+    // simulate a long-lived graph: hand-place a committed manifest at id 1e9
+    val dir = java.nio.file.Paths.get(root, "_snapshots",
+      java.net.URLEncoder.encode("urn:big", "UTF-8"))
+    val m1 = new String(java.nio.file.Files.readAllBytes(
+      dir.resolve("000000001.json")), "UTF-8")
+    java.nio.file.Files.write(dir.resolve("1000000000.json"),
+      m1.replace("\"1\"", "\"1000000000\"").getBytes("UTF-8"))
+    assert(cat.snapshots("urn:big") == Seq(1L, 1000000000L))
+    val id = cat.write("urn:big", tripleDf(3, "b"))
+    assert(id == 1000000001L) // next id continues past the pad width
+    assert(cat.count("urn:big") == 3L)
   }
 
   test("time travel: historical snapshots stay readable and immutable") {

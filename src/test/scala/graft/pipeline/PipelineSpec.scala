@@ -185,14 +185,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(7L) == ((7L, "kept")))
   }
 
-  test("pipeline run is deterministic and resumable") {
+  test("pipeline run is deterministic and resumable (file:// URI workDir)") {
     import java.nio.file.{Files, Paths}
-    val work = Files.createTempDirectory("graftpipe").toString
+    val localWork = Files.createTempDirectory("graftpipe").toString
+    // the workDir is a Hadoop URI — stage commits and _CONFIG.json go
+    // through FileSystem, so file:// (and s3a://hdfs://) roots all work
+    val work = "file://" + localWork
     val t1 = Pipeline.run(spark, sfDir, work)
     val rows1 = t1.collect().map(_.toString).sorted
     // simulate crash: wipe the last stages, rerun
     def rm(p: String): Unit = {
-      val d = Paths.get(work, p).toFile
+      val d = Paths.get(localWork, p).toFile
       def del(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(del)
         f.delete()

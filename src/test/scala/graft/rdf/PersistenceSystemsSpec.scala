@@ -68,6 +68,43 @@ class PersistenceSystemsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](sop.write(sampleGraph(1), "not-an-iri"))
   }
 
+  test("SOP asset creation mints reference-shaped URNs (persistence_systems.py:592-758)") {
+    val root = Files.createTempDirectory("graftsopassets").toString
+    val sop = new SopStore(spark, new ParquetSnapshotCatalog(spark, root), username = "Administrator")
+    // create_datagraph: named
+    val dg = sop.createDatagraph(datagraphName = Some("my_data"))
+    assert(dg == "urn:x-evn-master:my_data")
+    assert(sop.assetExists(dg))
+    // giving the full master URN as the name strips the prefix (intended
+    // semantics of the reference's str.strip quirk)
+    assert(sop.createDatagraph(datagraphName = Some("urn:x-evn-master:my_data")) == dg)
+    // name defaulting: reference embeds getpass.getuser()+datetime.now();
+    // here the wall-clock component is a caller token (determinism)
+    val user = System.getProperty("user.name")
+    val defaulted = sop.createDatagraph(nameToken = Some("T0"))
+    assert(defaulted == s"urn:x-evn-master:Python_created_Datagraph_by_${user}_at_T0")
+    intercept[IllegalArgumentException](sop.createDatagraph())
+    // create_workflow: tag URN shape <master->tag>:<wf>:<user>
+    val wf = sop.createWorkflow(dg, workflowName = Some("wf_1"))
+    assert(wf == "urn:x-evn-tag:my_data:wf_1:Administrator")
+    assert(graft.catalog.GraphCatalog.graphFromWorkflow(wf) == dg)
+    assert(sop.assetExists(wf)) // master exists -> workflow URN exists
+    // create_manifest: master URN with manifest defaults
+    assert(sop.createManifest(manifestName = Some("man 1")) == "urn:x-evn-master:man 1")
+    // create_file: imports the file's graph at the derived baseURI; a
+    // second create raises the reference's already-exists error verbatim
+    val dir = Files.createTempDirectory("graftsopfile")
+    val f = new FileStore(dir.toString)
+    f.write(sampleGraph(3, "f"), "asset", "turtle")
+    val fileUri = dir.resolve("asset.ttl").toString
+    val baseUri = sop.createFile(fileUri)
+    assert(baseUri == s"https://data.surroundaustralia.com/file/$fileUri")
+    assert(sop.assetCollectionSize(baseUri) == 3L)
+    val err = intercept[IllegalArgumentException](sop.createFile(fileUri))
+    assert(err.getMessage ==
+      s"Asset (probably a file) already exists with baseURI: $baseUri")
+  }
+
   test("GraphDB/Fuseki stubs validate then raise NotImplemented (reference v0.4.11 parity)") {
     intercept[IllegalArgumentException](new GraphDbStore("ftp://x", "repo"))
     intercept[IllegalArgumentException](new FusekiStore("http://x", null))

@@ -272,6 +272,12 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) =>
       Ann.ivfTopK(table(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)),
 
+    // ---- IVF ANN with the TRAINED coarse quantizer (deterministic
+    // spherical k-means over a sample; the oracle re-derives the same
+    // centroids in SQL — recall 0.65+ at nProbe=4 vs 0.38 seeded)
+    "q_ann_ivf_trained" -> ((s, dir) =>
+      Ann.ivfTopKTrained(table(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+
     // ---- embedding near-dup blocked by the LSH index itself (no label needed)
     "q_embed_dups_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDupsLsh(table(s, dir, "embeddings"), 0.3)),
@@ -592,6 +598,77 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, cos, rank FROM rr WHERE rank <= 10""".stripMargin
   }
 
+  /**
+   * Trained-IVF oracle: the SQL RE-DERIVES the k-means centroids from the
+   * data (they are sf-dependent, so they cannot be literals like the seeded
+   * ones) with bit-exact parity to [[graft.ops.Ann.trainIvfCentroids]]:
+   *  - normalization via `list_dot_product(e, e)` = the same sequential
+   *    x*x fold;
+   *  - every cosine is `round(list_cosine_similarity(a, b), 6)` = the
+   *    proven-parity twin of `VecFunctions.cosineRound6`/`ivfCellsFor`;
+   *  - k-center picks and Lloyd assignments tie-break by lowest
+   *    vec_id/cell via row_number, matching the Scala strict-inequality
+   *    scans;
+   *  - the Lloyd mean uses `list_reduce(list(x ORDER BY vec_id), +)` — a
+   *    sequential fold in the SAME member order as the Scala reduceLeft.
+   * CTEs in the chain are MATERIALIZED: DuckDB inlines plain CTEs per
+   * reference, which is exponential in a 10-step greedy chain.
+   */
+  private def annIvfTrainedOracle: String = {
+    import graft.ops.Ann.{IvfTrainIters, IvfTrainSample, IvfTrainedCells, IvfTrainedProbes}
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |dims AS (SELECT unnest(range(${graft.ops.Ann.DefaultDim})) AS i),
+         |samp AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS s
+         |  FROM vecs WHERE vec_id < $IvfTrainSample),
+         |cents_i0 AS MATERIALIZED (SELECT 0 AS cell, s FROM samp WHERE vec_id = (SELECT min(vec_id) FROM samp))""".stripMargin
+    for (c <- 1 until IvfTrainedCells) {
+      sb ++=
+        s""",
+           |mx_$c AS (SELECT sp.vec_id, sp.s, max(round(list_cosine_similarity(ct.s, sp.s), 6)) AS mx
+           |  FROM samp sp CROSS JOIN cents_i${c - 1} ct GROUP BY sp.vec_id, sp.s),
+           |pick_$c AS (SELECT s FROM (SELECT s, row_number() OVER (ORDER BY mx ASC, vec_id ASC) AS rn FROM mx_$c) WHERE rn = 1),
+           |cents_i$c AS MATERIALIZED (SELECT * FROM cents_i${c - 1} UNION ALL SELECT $c AS cell, s FROM pick_$c)""".stripMargin
+    }
+    var prev = s"cents_i${IvfTrainedCells - 1}"
+    for (it <- 1 to IvfTrainIters) {
+      sb ++=
+        s""",
+           |asg_$it AS MATERIALIZED (SELECT vec_id, s, cell FROM (
+           |    SELECT sp.vec_id, sp.s, ct.cell,
+           |      row_number() OVER (PARTITION BY sp.vec_id
+           |        ORDER BY round(list_cosine_similarity(ct.s, sp.s), 6) DESC, ct.cell ASC) AS rn
+           |    FROM samp sp CROSS JOIN $prev ct) WHERE rn = 1),
+           |mean_$it AS (SELECT a.cell, d.i,
+           |    list_reduce(list(a.s[d.i + 1] ORDER BY a.vec_id), (x, y) -> x + y) / count(*) AS v
+           |  FROM asg_$it a CROSS JOIN dims d GROUP BY a.cell, d.i),
+           |newc_$it AS (SELECT cell, list(v ORDER BY i) AS s FROM mean_$it GROUP BY cell),
+           |cents_l$it AS MATERIALIZED (SELECT p.cell, coalesce(n.s, p.s) AS s
+           |  FROM $prev p LEFT JOIN newc_$it n ON n.cell = p.cell)""".stripMargin
+      prev = s"cents_l$it"
+    }
+    sb ++=
+      s""",
+         |cellscore AS (SELECT v.vec_id, ct.cell, round(list_cosine_similarity(ct.s, v.e), 6) AS cc
+         |  FROM vecs v CROSS JOIN $prev ct),
+         |ranked AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS r FROM cellscore),
+         |corpus AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM ranked
+         |           WHERE r <= $IvfTrainedProbes AND vec_id IN (0, 1, 2, 3, 4)),
+         |cands AS (SELECT p.query_id, c.vec_id FROM probes p JOIN corpus c ON c.cell = p.cell
+         |  WHERE c.vec_id <> p.query_id),
+         |scored AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(q.e, v.e), 6) AS cos
+         |  FROM cands cd JOIN vecs q ON q.vec_id = cd.query_id JOIN vecs v ON v.vec_id = cd.vec_id),
+         |rr AS (SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, cos, rank FROM rr WHERE rank <= 10""".stripMargin
+    sb.toString
+  }
+
   private def embedDupsLshOracle(threshold: Double): String =
     s"""$lshSigsCte,
        |pairs AS (
@@ -609,6 +686,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,
+    "q_ann_ivf_trained" -> annIvfTrainedOracle,
     "q_embed_dups_lsh" -> embedDupsLshOracle(0.3),
     "q_transcripts" -> Transcripts.oracleSql,
 

@@ -112,6 +112,22 @@ object VecFunctions {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /**
+   * Round-6 cosine of two double arrays with EXACTLY the arithmetic of
+   * [[ivfCellsFor]] (fold order, `dot / (sqrt(na) * sqrt(nb))` grouping,
+   * `math.rint` scaling) — the driver-side kernel for IVF quantizer
+   * training, bit-identical to DuckDB's
+   * `round(list_cosine_similarity(a, b), 6)` so the trained centroids (and
+   * therefore every cell assignment) reproduce in the SQL oracle.
+   */
+  def cosineRound6(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    math.rint(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+  }
+
   private val eu = org.apache.spark.sql.graftbridge.ColumnBridge
 
   /** Cosine similarity of two `array<float>` columns — native, codegen'd. */
@@ -125,6 +141,10 @@ object VecFunctions {
   /** The nProbe nearest IVF cell ids for an `array<float>` column — native, codegen'd. */
   def ivf_cells(v: Column, nCells: Int, nProbe: Int, dim: Int, seed: Long): Column =
     eu.column(IvfCells(eu.expression(v), nCells, nProbe, dim, seed))
+
+  /** Same, against EXPLICIT (trained) centroids instead of seeded ones. */
+  def ivf_cells_trained(v: Column, cents: Seq[Seq[Double]], nProbe: Int): Column =
+    eu.column(IvfCellsTrained(eu.expression(v), cents, nProbe))
 }
 
 /** Cosine similarity of two float-array columns — native codegen'd expression. */
@@ -164,6 +184,28 @@ case class IvfCells(child: Expression, nCells: Int, nProbe: Int, dim: Int, seed:
     defineCodeGen(ctx, ev, c => s"graft.functions.VecFunctions.ivfCellsFor($c, $ref, $nProbe)")
   }
   override protected def withNewChildInternal(newChild: Expression): IvfCells =
+    copy(child = newChild)
+}
+
+/**
+ * [[IvfCells]] with an explicit centroid table — the TRAINED coarse
+ * quantizer (k-means over a corpus sample, [[graft.ops.Ann.trainIvfCentroids]])
+ * instead of seeded Gaussians. Centroids are a `Seq[Seq[Double]]` so the
+ * expression stays a value-comparable case class; the array form is
+ * memoized for the kernel.
+ */
+case class IvfCellsTrained(child: Expression, cents: Seq[Seq[Double]], nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  @transient private lazy val centArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+  override protected def nullSafeEval(v: Any): Any =
+    VecFunctions.ivfCellsFor(v.asInstanceOf[ArrayData], centArr, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", centArr, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecFunctions.ivfCellsFor($c, $ref, $nProbe)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): IvfCellsTrained =
     copy(child = newChild)
 }
 

@@ -66,8 +66,12 @@ object ScalingBench {
     // fused T1+T2+T3: the corpus is synthesized + matched ONCE for the
     // triple materialization (the compositional union evaluated it 3x)
     val triples = Extraction.triplesFused(spark, turns.as[Turn], canonical)
-    phase("write")(triples.write.mode("overwrite").parquet(outDir))
-    phase("count")(spark.read.parquet(outDir).count())
+    // row count via an observe metric RIDING the write job: the old
+    // count-back re-read was a whole extra pass over the output per run
+    val obs = org.apache.spark.sql.Observation()
+    phase("write")(triples.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(outDir))
+    obs.get("n").asInstanceOf[Long]
   }
 
   private def session(cpus: Int): SparkSession = {

@@ -94,12 +94,15 @@ object Extraction {
       val counts = new Array[Int](trie.numPatterns)
       val firstPos = new Array[Int](trie.numPatterns)
       val empty = Array.emptyByteArray
+      // partition-lifetime buffer (drained per turn before refill — see
+      // triplesFused): one fewer allocation per turn on the shared heap
+      val pairs = ArrayBuffer.empty[(String, String)]
       it.flatMap { turnText =>
         val text = if (turnText == null) empty else turnText
         trie.matchStatsBytes(text, counts, firstPos)
         // same-offset pairs, found by a local O(k^2) sweep over the <=|gaz|
         // matched patterns of this turn (k is tiny and bounded)
-        val pairs = ArrayBuffer.empty[(String, String)]
+        pairs.clear()
         var i = 0
         while (i < counts.length) {
           if (counts(i) > 0) {
@@ -264,33 +267,57 @@ object Extraction {
     val canonMap = canonical.select("entity_id", "canonical_id").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     val ac = new AhoCorasick(Gazetteer.surfaces)
-    val bc = spark.sparkContext.broadcast((ac, Gazetteer.entityIds, canonMap))
+    // Allocation discipline (round 3): GC pressure on ONE shared heap is
+    // what caps 32-thread scaling, so the per-mention work precomputes
+    // everything derivable from the static gazetteer x canonical map:
+    //  - canonIri(p) = the FINAL "urn:<canonical>" object string per
+    //    pattern — no per-mention concat, no map lookup;
+    //  - canonKey(p) = a dense int id per DISTINCT canonical — per-turn
+    //    dedup becomes a boolean-array flag, not a HashSet[String] insert.
+    val canonIds = Gazetteer.entityIds.map(e => canonMap.getOrElse(e, e))
+    val distinctCanon = canonIds.distinct
+    val canonIdx = distinctCanon.zipWithIndex.toMap
+    val canonIriArr = canonIds.map("urn:" + _)
+    val canonKeyArr = canonIds.map(canonIdx)
+    val bc = spark.sparkContext.broadcast((ac, canonIriArr, canonKeyArr, distinctCanon.length))
     slim(turns).mapPartitions { it =>
-      val (trie, entityIds, canon) = bc.value
+      val (trie, canonIri, canonKey, nCanon) = bc.value
       val counts = new Array[Int](trie.numPatterns)
       val firstPos = new Array[Int](trie.numPatterns)
-      val seen = scala.collection.mutable.HashSet.empty[String]
+      val seen = new Array[Boolean](nCanon)
+      val touched = new Array[Int](trie.numPatterns)
+      // ONE output buffer for the whole partition: Iterator.flatMap drains
+      // each turn's rows (the row encoder serializes them one by one)
+      // before the next turn's lambda runs, so clear()+refill is safe and
+      // saves a buffer allocation + growth per turn
+      val out = ArrayBuffer.empty[(String, String, String, Int, String, Int)]
       it.flatMap { case (convId, turnIdx, role, tool, turnText) =>
         val convIri = "urn:conv:" + convId
         val turnIri = convIri + ":" + turnIdx
-        val out = ArrayBuffer.empty[(String, String, String, Int, String, Int)]
+        out.clear()
         out += ((turnIri, "urn:graft:partOf", convIri, 0, convId, turnIdx))
         out += ((turnIri, "urn:graft:role", role, 2, convId, turnIdx))
         if (tool != null)
           out += ((turnIri, "urn:graft:usedTool", tool, 2, convId, turnIdx))
         val text = if (turnText == null) Array.emptyByteArray else turnText
         trie.matchStatsBytes(text, counts, firstPos)
-        seen.clear()
+        var nt = 0
         var i = 0
         while (i < counts.length) {
           if (counts(i) > 0) {
-            val c = canon.getOrElse(entityIds(i), entityIds(i))
-            if (seen.add(c))
-              out += ((convIri, "urn:graft:mentions", "urn:" + c, 0,
+            val k = canonKey(i)
+            if (!seen(k)) {
+              seen(k) = true
+              touched(nt) = k
+              nt += 1
+              out += ((convIri, "urn:graft:mentions", canonIri(i), 0,
                 convId, turnIdx))
+            }
           }
           i += 1
         }
+        i = 0
+        while (i < nt) { seen(touched(i)) = false; i += 1 }
         out
       }
     }.toDF("s", "p", "o", "o_kind", "conv_id", "turn_idx")
@@ -326,10 +353,11 @@ object Extraction {
       val (trie, entityIds) = bc.value
       val counts = new Array[Int](trie.numPatterns)
       val firstPos = new Array[Int](trie.numPatterns)
+      val out = ArrayBuffer.empty[(String, String, String, Int, String, Int)]
       it.flatMap { case (convId, turnIdx, role, tool, turnText) =>
         val convIri = "urn:conv:" + convId
         val turnIri = convIri + ":" + turnIdx
-        val out = ArrayBuffer.empty[(String, String, String, Int, String, Int)]
+        out.clear()
         out += ((turnIri, "urn:graft:partOf", convIri, 0, convId, turnIdx))
         out += ((turnIri, "urn:graft:role", role, 2, convId, turnIdx))
         if (tool != null)

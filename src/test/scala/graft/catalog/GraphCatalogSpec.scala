@@ -4,6 +4,7 @@ import graft.model._
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 class GraphCatalogSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
@@ -50,6 +51,71 @@ class GraphCatalogSpec extends AnyFunSuite {
     val id2 = cat.write(iri, extra, overwrite = false)
     assert(id2 == 2L)
     assert(cat.count(iri) == 6L) // 4 + 2 new, duplicates collapsed
+  }
+
+  test("append is a delta commit: previous snapshot files stay byte-untouched") {
+    val rootDir = Files.createTempDirectory("graftcat9")
+    val cat = new ParquetSnapshotCatalog(spark, rootDir.toString)
+    val iri = "urn:delta"
+    cat.write(iri, tripleDf(4, "x"))
+    val enc = java.net.URLEncoder.encode(iri, "UTF-8")
+    val v1 = rootDir.resolve("data").resolve(enc).resolve("v1")
+    def snapshotFiles(dir: java.nio.file.Path): Map[String, Seq[Byte]] = {
+      val s = java.nio.file.Files.walk(dir)
+      try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => dir.relativize(p).toString -> java.nio.file.Files.readAllBytes(p).toSeq)
+        .toMap
+      finally s.close()
+    }
+    val before = snapshotFiles(v1)
+    import spark.implicits._
+    val extra = (Seq(TripleRow("urn:s:x:0", 0, "urn:p", "o0", 2, null, null)) ++
+      (0 until 2).map(i => TripleRow(s"urn:s:z:$i", 0, "urn:p", s"o$i", 2, null, null))).toDF()
+    val id2 = cat.write(iri, extra, overwrite = false)
+    // set-union semantics preserved (4 + 2 new, 1 duplicate collapsed)...
+    assert(cat.count(iri) == 6L)
+    // ...and the append REWROTE NOTHING: v1's files are byte-identical,
+    // and the delta dir holds only the 2 genuinely-new rows
+    assert(snapshotFiles(v1) == before)
+    val v2 = rootDir.resolve("data").resolve(enc).resolve(s"v$id2")
+    assert(spark.read.parquet(v2.toString).count() == 2L)
+    // time travel still sees the pre-append state
+    assert(cat.readAt(iri, 1L)._2.count() == 4L)
+  }
+
+  test("null o_dtype/o_lang rows do not re-enter on append (null-safe anti-join)") {
+    val root = Files.createTempDirectory("graftcat10").toString
+    val cat = new ParquetSnapshotCatalog(spark, root)
+    import spark.implicits._
+    val withNulls = Seq(
+      TripleRow("urn:s", 0, "urn:p", "lit", 2, null, null),
+      TripleRow("urn:s", 0, "urn:p", "typed", 2, "urn:dt", null)).toDF()
+    cat.write("urn:nulls", withNulls)
+    cat.write("urn:nulls", withNulls, overwrite = false) // pure duplicate delta
+    assert(cat.count("urn:nulls") == 2L)
+  }
+
+  test("a legacy flat _snapshots layout is migrated, not silently emptied") {
+    val rootDir = Files.createTempDirectory("graftcat11")
+    val cat = new ParquetSnapshotCatalog(spark, rootDir.toString)
+    cat.write("urn:legacy", tripleDf(3, "a"))
+    val enc = java.net.URLEncoder.encode("urn:legacy", "UTF-8")
+    val snaps = rootDir.resolve("_snapshots")
+    // simulate a catalog written by the old flat layout: move the manifest
+    // up to _snapshots/<enc>.<id>.json and drop the per-graph dir
+    val manifest = snaps.resolve(enc).resolve("000000001.json")
+    java.nio.file.Files.move(manifest, snaps.resolve(s"$enc.000000001.json"))
+    // remove the per-graph dir (and its Hadoop .crc sidecars) entirely
+    val walk = java.nio.file.Files.walk(snaps.resolve(enc))
+    try walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    finally walk.close()
+    // a fresh open migrates: the graph is visible, history intact, and the
+    // next write continues the id sequence instead of clobbering v1
+    val cat2 = new ParquetSnapshotCatalog(spark, rootDir.toString)
+    assert(cat2.exists("urn:legacy"))
+    assert(cat2.count("urn:legacy") == 3L)
+    assert(cat2.write("urn:legacy", tripleDf(2, "b")) == 2L)
+    assert(cat2.readAt("urn:legacy", 1L)._2.count() == 3L)
   }
 
   test("dot-prefix graph IRIs do not capture each other's snapshots") {

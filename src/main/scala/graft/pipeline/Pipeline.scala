@@ -72,9 +72,17 @@ object Pipeline {
       }
       val t0 = System.nanoTime()
       val df = compute
-      df.write.mode("overwrite").parquet(dataPath)
-      val out = spark.read.parquet(dataPath)
-      val rows = out.count()
+      // the row count rides the write job as an observe metric — the old
+      // count-back re-read was a full second pass over the output per stage
+      // (the same fix ScalingBench got in round 3)
+      val obs = org.apache.spark.sql.Observation()
+      df.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+        .write.mode("overwrite").parquet(dataPath)
+      val rows = obs.get("rows").asInstanceOf[Long]
+      // schema supplied from the plan we just wrote: parquet schema
+      // inference would otherwise launch its own footer-reading job
+      val out = spark.read.schema(df.schema).parquet(dataPath)
       val secs = (System.nanoTime() - t0) / 1e9
       commitMarker(name, s"""{"stage": "$name", "rows": $rows, "seconds": $secs}""")
       metrics += StageMetric(name, rows, out.rdd.getNumPartitions, secs,
@@ -139,8 +147,13 @@ object Pipeline {
     val docs =
       if (!dedupFirst) Transcripts.documents(spark, sfDir)
       else {
-        val verdicts = runner.stage("t0a_dedup", Seq("documents")) {
-          graft.ops.DedupPipeline.run(spark, Transcripts.documents(spark, sfDir))
+        // the stage writes (materializes) inside the scope, so the dedup
+        // intermediates' caches are released the moment the stage commits
+        val verdicts = graft.ops.CacheScope.withScope { scope =>
+          runner.stage("t0a_dedup", Seq("documents")) {
+            graft.ops.DedupPipeline.run(spark, Transcripts.documents(spark, sfDir),
+              scope = scope)
+          }
         }
         Transcripts.documents(spark, sfDir)
           .join(verdicts.where(col("keep")).select("doc_id"), Seq("doc_id"), "leftsemi")

@@ -31,24 +31,40 @@ object Bench {
       // materialization, so warm them like the memoized stage artifacts
       SparkEntry.queries.get("q_simhash_dups").foreach(_(spark, sfDir).count())
       SparkEntry.queries.get("q_ann_ivf").foreach(_(spark, sfDir).count())
+      // first run trains centroids + writes the cell-partitioned index table
+      SparkEntry.queries.get("q_ann_ivf_indexed").foreach(_(spark, sfDir).count())
       SparkEntry.queries.get("q_embed_dups_lsh").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a throwing query is RECORDED, never fatal: the artifact with 39
+      // good numbers and one error beats no artifact at all
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errJson =
+      if (errors.isEmpty) ""
+      else ",\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
     println(json)
     // Machine-parseable artifact: the stdout line rides behind sbt's
     // "[info] " prefix, which log-tail parsers miss — the same JSON is
     // therefore also written to a file ($SPARK_GRAFT_OUT or the cwd).
-    val outFile = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_OUT", "."), "bench.json")
-    java.nio.file.Files.writeString(outFile, json + "\n")
+    // The output dir is created first: a missing $SPARK_GRAFT_OUT used to
+    // throw AFTER the whole benchmark completed, losing the artifact.
+    val outDir = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_OUT", "."))
+    java.nio.file.Files.createDirectories(outDir)
+    java.nio.file.Files.writeString(outDir.resolve("bench.json"), json + "\n")
     spark.stop()
   }
 }

@@ -17,16 +17,17 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Oracle-divergence guard: the q_lsh_pairs / q_ngram_jaccard /
     // q_dedup_pipeline oracles model FULL quadratic LSH bucket expansion,
-    // while Dedup.lshCandidatePairs star-expands buckets above maxBucket
-    // (4096). A degenerate bucket in the data under verify would make those
-    // rows fail with no hint of the cause — fail fast and loudly instead.
-    // (Checking the full documents table covers the dedup pipeline too: its
-    // exact-dedup reps produce buckets that are subsets of these.)
+    // while Dedup.lshCandidatePairs star-expands buckets above its
+    // DefaultMaxBucket. A degenerate bucket in the data under verify would
+    // make those rows fail with no hint of the cause — fail fast and loudly
+    // instead. (Checking the full documents table covers the dedup pipeline
+    // too: its exact-dedup reps produce buckets that are subsets of these.)
+    val bucketCap = graft.ops.Dedup.DefaultMaxBucket
     val maxBucket = graft.ops.Dedup.maxBandBucket(
       graft.ops.Dedup.minhashSignatures(
         spark.read.parquet(s"$sfDir/documents.parquet")))
-    require(maxBucket <= 4096,
-      s"verify data has an LSH band bucket of $maxBucket members (> maxBucket 4096): " +
+    require(maxBucket <= bucketCap,
+      s"verify data has an LSH band bucket of $maxBucket members (> maxBucket $bucketCap): " +
         "the quadratic-expansion SQL oracles would diverge from the star-expanded " +
         "Spark path; regenerate oracles with the star model before comparing")
     SparkEntry.queries.foreach { case (name, fn) =>

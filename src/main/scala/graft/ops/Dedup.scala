@@ -90,9 +90,13 @@ object Dedup {
    * QueryExecutionListener surfaces it as a warn. Lazy by design: the
    * warning lands when the query actually executes.
    */
+  // weak keys: a stopped SparkSession must be collectable — a strong set
+  // here would leak every session ever guarded in a long-lived multi-session
+  // JVM (the registered listener dies with its session's listener bus)
   private val guardListenerSessions =
     java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+      java.util.Collections.synchronizedMap(
+        new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
 
   private def ensureGuardListener(spark: org.apache.spark.sql.SparkSession): Unit =
     if (guardListenerSessions.add(spark)) {
@@ -140,18 +144,23 @@ object Dedup {
    * and both expansion branches, and recomputing it means re-running the
    * MinHash signature subtree (shingle explode over the full corpus) per
    * consumer. It is 4 small rows per document — the cheapest artifact in
-   * the dedup pipeline. The persists are MEMORY_AND_DISK and evictable
-   * (LRU); long-lived sessions issuing many independent dedup runs should
-   * materialize candidates to a table between stages (as Pipeline does),
-   * after which the cached blocks are dead weight the LRU reclaims.
+   * the dedup pipeline. Persist LIFECYCLE is the caller's via `scope`: pass
+   * a [[CacheScope.withScope]] scope and materialize inside it (as
+   * [[DedupPipeline.runTo]] does) to unpersist the intermediates at a
+   * defined completion point; the unmanaged default leaves eviction to the
+   * block-manager LRU (right for the session-lifetime memoized artifacts).
    */
-  def lshCandidatePairs(signatures: DataFrame, maxBucket: Int = 4096): DataFrame = {
-    val banded = signatures.select(
+  /** The default degenerate-bucket cap — shared with the Verify harness's
+    * oracle-divergence guard so the two bounds cannot drift apart. */
+  val DefaultMaxBucket = 4096
+
+  def lshCandidatePairs(signatures: DataFrame, maxBucket: Int = DefaultMaxBucket,
+                        scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val banded = scope.persist(signatures.select(
       col("doc_id"),
-      posexplode(array((0 until LshBands).map(bandKey): _*)).as(Seq("band", "key")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      posexplode(array((0 until LshBands).map(bandKey): _*)).as(Seq("band", "key"))))
     ensureGuardListener(signatures.sparkSession)
-    val counts = banded.groupBy("band", "key")
+    val counts = scope.persist(banded.groupBy("band", "key")
       .agg(count(lit(1)).as("n"), min("doc_id").as("rep"))
       .where(col("n") >= 2)
       // the oversize warning rides this aggregate (no dedicated count job);
@@ -159,8 +168,7 @@ object Dedup {
       .observe("lsh_bucket_guard",
         sum(when(col("n") > maxBucket, 1L)).as("oversize_buckets"),
         max(lit(maxBucket)).as("max_bucket"),
-        max(col("n")).as("largest_bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        max(col("n")).as("largest_bucket")))
     val small = banded
       .join(counts.where(col("n") <= maxBucket).select("band", "key"), Seq("band", "key"))
       .groupBy("band", "key")
@@ -274,7 +282,8 @@ object Dedup {
    * (16 x 4-bit chunks ≡ hamming <= 15 guarantee) — this portable variant
    * is the oracle-checkable one.
    */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+                      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val chunks = 4
     val chunkLen = SimhashBits / chunks
     // BIGRAM sketch input: on a shared-vocabulary corpus unigram-token
@@ -288,7 +297,7 @@ object Dedup {
     hammingBandedPairs(sh.select(col("doc_id"), col("sim_num"),
       array((0 until chunks).map(c =>
         substring(col("simhash"), c * chunkLen + 1, chunkLen)): _*).as("keys")),
-      maxHamming)
+      maxHamming, scope)
   }
 
   /**
@@ -301,8 +310,9 @@ object Dedup {
    * sketch. Input (doc_id, sim_num, keys) is persisted here: both join
    * sides read it, and recomputing it means two full sketch scans.
    */
-  private def hammingBandedPairs(sketches: DataFrame, maxHamming: Int): DataFrame = {
-    val sk = sketches.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private def hammingBandedPairs(sketches: DataFrame, maxHamming: Int,
+                                 scope: CacheScope): DataFrame = {
+    val sk = scope.persist(sketches)
     val banded = sk.select(col("doc_id"), col("sim_num"),
       posexplode(col("keys")).as(Seq("chunk", "key")))
     banded.select(col("doc_id").as("doc_a"), col("sim_num").as("num_a"),
@@ -325,7 +335,8 @@ object Dedup {
    * pigeonhole guarantee for hamming <= 3 holds identically. Not
    * SQL-oracle-checkable (xxhash64 sketch); pigeonhole-verified in OpsSpec.
    */
-  def simhashNearDups64(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDups64(docs: DataFrame, maxHamming: Int = 3,
+                        scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val chunks = 4
     hammingBandedPairs(docs
       .select(col("doc_id"),
@@ -333,7 +344,7 @@ object Dedup {
       .select(col("doc_id"), col("sim_num"),
         array((0 until chunks).map(c =>
           shiftright(col("sim_num"), c * 16).bitwiseAND(lit(0xffffL))): _*).as("keys")),
-      maxHamming)
+      maxHamming, scope)
   }
 
   // ------------------------------------------------- embedding near-dup

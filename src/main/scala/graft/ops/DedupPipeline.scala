@@ -36,7 +36,8 @@ object DedupPipeline {
    *         ('kept', 'exact_dup', 'near_dup')
    */
   def run(spark: SparkSession, docs: DataFrame,
-          jaccardThreshold: Double = 0.8): DataFrame = {
+          jaccardThreshold: Double = 0.8,
+          scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val exact = Dedup.exactDedup(docs) // (content_hash, keep_doc_id, n_docs)
     val withRep = docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
       .join(exact.select(col("content_hash"), col("keep_doc_id").as("exact_rep")),
@@ -45,15 +46,13 @@ object DedupPipeline {
     // reps feed FOUR consumers (signatures, member shingles x3 refs via the
     // Jaccard plan, CC nodes) — persist the intermediate like a production
     // run materializes it between stages
-    val reps = docs.join(
+    val reps = scope.persist(docs.join(
       withRep.where(col("doc_id") === col("exact_rep")).select("doc_id"),
-      Seq("doc_id"), "leftsemi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Seq("doc_id"), "leftsemi"))
 
-    val pairs = Dedup.lshCandidatePairs(Dedup.minhashSignatures(reps))
-    val memberShingles = Dedup.bigramShingles(
-      reps.join(Dedup.pairMembers(pairs), Seq("doc_id"), "leftsemi"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.lshCandidatePairs(Dedup.minhashSignatures(reps), scope = scope)
+    val memberShingles = scope.persist(Dedup.bigramShingles(
+      reps.join(Dedup.pairMembers(pairs), Seq("doc_id"), "leftsemi")))
     val verified = Dedup.ngramJaccardFromShingles(memberShingles, pairs)
       .where(col("jaccard") >= jaccardThreshold)
 
@@ -70,5 +69,24 @@ object DedupPipeline {
         when(col("doc_id") =!= col("exact_rep"), "exact_dup")
           .when(col("cluster_canonical") =!= col("doc_id"), "near_dup")
           .otherwise("kept").as("reason"))
+  }
+
+  /**
+   * [[run]] with an explicit completion point: the verdict table is
+   * materialized to `outPath` inside a [[CacheScope]], every persisted
+   * intermediate (exact-dedup reps, banded LSH projections, member
+   * shingles) is unpersisted once the write commits, and the returned
+   * frame reads the materialized table — nothing in its plan references
+   * the released caches. This is the shape a long-lived session
+   * interleaving many dedup runs should use; the lazy [[run]] stays for
+   * callers that memoize the verdict frame for the session (SparkEntry).
+   */
+  def runTo(spark: SparkSession, docs: DataFrame, outPath: String,
+            jaccardThreshold: Double = 0.8): DataFrame = {
+    CacheScope.withScope { scope =>
+      run(spark, docs, jaccardThreshold, scope)
+        .write.mode("overwrite").parquet(outPath)
+    }
+    spark.read.parquet(outPath)
   }
 }

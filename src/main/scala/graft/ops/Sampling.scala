@@ -88,7 +88,8 @@ object Sampling {
    */
   def packSequences(docs: DataFrame, stratumCol: String, tokenCol: String,
                     capacity: Int, keyCol: String = "doc_id",
-                    numPartitions: Int = 0): DataFrame = {
+                    numPartitions: Int = 0,
+                    scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = docs.sparkSession
@@ -96,11 +97,10 @@ object Sampling {
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val base = docs.select(col(keyCol), col(stratumCol), col(tokenCol))
-    val parted = base
+    val parted = scope.persist(base
       .repartitionByRange(nPart, col(stratumCol), col(keyCol))
       .sortWithinPartitions(col(stratumCol), col(keyCol))
-      .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("_pid", spark_partition_id()))
     // pass 1: per-(partition, stratum) subtotals -> driver-side scan-left.
     // Range partitioning places lower (stratum, key) ranges in lower
     // partition ids, so a stratum's offset for partition p is the sum of

@@ -95,6 +95,19 @@ object SparkEntry {
       Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs(s, dir)))
     }
 
+  // Materialized IVF index (trained centroids + cell-partitioned corpus
+  // table): built once per (session, sf) like the other stage artifacts.
+  private val ivfMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, Seq[Seq[Double]])]
+  private def ivfIndex(s: SparkSession, dir: String): (String, Seq[Seq[Double]]) =
+    ivfMemo.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val cents = Ann.trainIvfCentroids(s.read.parquet(s"$dir/embeddings.parquet"))
+        .map(_.toSeq).toSeq
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/index"
+      Ann.writeIvfIndex(s.read.parquet(s"$dir/embeddings.parquet"), path, cents)
+      (path, cents)
+    })
+
   // ================================================================= queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -277,6 +290,17 @@ object SparkEntry {
     // centroids in SQL — recall 0.65+ at nProbe=4 vs 0.38 seeded)
     "q_ann_ivf_trained" -> ((s, dir) =>
       Ann.ivfTopKTrained(table(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+
+    // ---- IVF ANN served from the MATERIALIZED cell-partitioned index
+    // table (built once per session like the other stage artifacts): the
+    // probe pushes a static `cell IN (...)` partition filter, so the scan
+    // reads only the probed inverted lists — the billion-vector serving
+    // path. Same centroids/probes as q_ann_ivf_trained -> same oracle.
+    "q_ann_ivf_indexed" -> ((s, dir) => {
+      val (path, cents) = ivfIndex(s, dir)
+      Ann.ivfTopKIndexed(s, path, table(s, dir, "embeddings"),
+        Seq(0L, 1L, 2L, 3L, 4L), 10, cents)
+    }),
 
     // ---- embedding near-dup blocked by the LSH index itself (no label needed)
     "q_embed_dups_lsh" -> ((s, dir) =>
@@ -687,6 +711,9 @@ object SparkEntry {
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_ivf_trained" -> annIvfTrainedOracle,
+    // the indexed path serves the SAME computation from the materialized
+    // cell-partitioned table — identical centroids, probes, and re-rank
+    "q_ann_ivf_indexed" -> annIvfTrainedOracle,
     "q_embed_dups_lsh" -> embedDupsLshOracle(0.3),
     "q_transcripts" -> Transcripts.oracleSql,
 

@@ -238,6 +238,54 @@ object Ann {
   }
 
   /**
+   * Materialize the IVF index the cell key is designed for: the corpus with
+   * its nearest-centroid assignment, written as a CELL-PARTITIONED parquet
+   * table (`.../cell=<c>/...`). At billion-vector scale this is the index
+   * structure itself — each cell directory is one inverted list, and a
+   * probe reads ONLY its `nProbe` cell directories (asserted against the
+   * scan's PartitionFilters in OpsSpec), never the corpus.
+   */
+  def writeIvfIndex(embeddings: DataFrame, path: String,
+                    centroids: Seq[Seq[Double]]): Unit = {
+    import graft.functions.VecFunctions.ivf_cells_trained
+    embeddings
+      .withColumn("cell", element_at(ivf_cells_trained(col("embedding"), centroids, 1), 1))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /**
+   * IVF top-k served FROM the materialized index: the queries' probe cells
+   * are collected first (a bounded driver read — at most queries x nProbe
+   * values over the small query set, and at most `centroids.size` distinct)
+   * and pushed as a STATIC `cell IN (...)` partition filter, so the index
+   * scan lists and reads only the probed cell directories. Identical
+   * results to [[ivfTopKTrained]] with the same centroids/probes (floats
+   * round-trip parquet exactly); the difference is that cell assignment is
+   * paid once at index-build time, not per query batch.
+   */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                     embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+                     centroids: Seq[Seq[Double]],
+                     nProbe: Int = IvfTrainedProbes): DataFrame = {
+    import graft.functions.VecFunctions.ivf_cells_trained
+    val probes = embeddings.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(ivf_cells_trained(col("embedding"), centroids, nProbe)).as("cell"))
+    val probeCells = probes.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val corpus = spark.read.parquet(indexPath)
+      .where(col("cell").isin(probeCells.toIndexedSeq: _*))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(
+        graft.functions.VecFunctions.cosine_f(col("qe"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cos"), col("rank").cast("long").as("rank"))
+  }
+
+  /**
    * Multi-table LSH top-k with 1-bit multi-probe: candidates = union over
    * `nTables` hash tables of the query's bucket and its 1-bit-flip
    * neighbors; exact cosine re-rank on the deduplicated candidate set. At

@@ -167,6 +167,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got(6L) == ((6L, true, "kept")))
   }
 
+  test("DedupPipeline.runTo releases every persisted intermediate once the output is written") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = java.nio.file.Files.createTempDirectory("graftdedupout").toString + "/verdicts"
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val d = Seq((1L, base), (2L, base), (3L, base + " tokX"),
+      (4L, "entirely different text here")).toDF("doc_id", "text")
+    val verdicts = DedupPipeline.runTo(spark, d, out)
+    assert(verdicts.count() == 4)
+    assert(verdicts.where(col("keep")).count() < 4) // it actually deduped
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"persisted RDDs leaked past the completion point: $leaked")
+  }
+
   test("IVF ANN achieves >= 0.6 recall@10 vs brute force on real embeddings") {
     val queryIds = Seq(0L, 1L, 2L, 3L, 4L)
     val brute = Ann.bruteForceTopK(embeddings, queryIds, 10).collect()
@@ -195,6 +209,35 @@ class OpsSpec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.6, s"mean recall $mean over ${queryIds.size} queries")
+  }
+
+  test("materialized IVF index: probe scan is partition-pruned to the probed cells") {
+    val cents = Ann.trainIvfCentroids(embeddings).map(_.toSeq).toSeq
+    val idx = java.nio.file.Files.createTempDirectory("graftivfidx").toString + "/index"
+    Ann.writeIvfIndex(embeddings, idx, cents)
+    // the index table is physically partitioned by cell (one dir per cell)
+    val cellDirs = new java.io.File(idx).listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.length == Ann.IvfTrainedCells)
+    val queryIds = Seq(0L, 1L, 2L, 3L, 4L)
+    val res = Ann.ivfTopKIndexed(spark, idx, embeddings, queryIds, 10, cents)
+    // identical results to the non-indexed trained path (same centroids,
+    // same probes; floats round-trip parquet exactly)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(asSet(res) == asSet(Ann.ivfTopKTrained(embeddings, queryIds, 10)))
+    // the probe plan prunes the index scan to the probed cells: a static
+    // `cell IN (...)` lands in the scan's PartitionFilters, and strictly
+    // fewer than all cell directories are read
+    val planStr = res.queryExecution.executedPlan.toString()
+    val pf = "PartitionFilters: \\[[^\\]]*cell[^\\]]*IN".r
+    assert(pf.findFirstIn(planStr).isDefined,
+      s"no cell IN (...) PartitionFilters on the index scan:\n$planStr")
+    import graft.functions.VecFunctions.ivf_cells_trained
+    val probedCells = embeddings.where(col("vec_id").isin(queryIds: _*))
+      .select(explode(ivf_cells_trained(col("embedding"), cents, Ann.IvfTrainedProbes)).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(probedCells.size < Ann.IvfTrainedCells,
+      s"test premise: 5 queries at nProbe=4 must not probe every cell ($probedCells)")
   }
 
   test("IVF training is deterministic (same centroids on re-run)") {

@@ -259,6 +259,12 @@ object Extraction {
    * because allocation pressure is what caps 32-thread GC scaling on one
    * heap — improves the N->4N efficiency. Emits exactly the same rows.
    */
+  // slot markers for the per-turn fixed triples; slot >= 0 is a dense
+  // distinct-canonical index (a mention triple)
+  private val SlotPartOf = -1
+  private val SlotRole = -2
+  private val SlotTool = -3
+
   def triplesFused(spark: SparkSession, turns: Dataset[Turn], canonical: DataFrame,
                    entityBroadcastLimit: Long = 5000000L, saltBuckets: Int = 16): DataFrame = {
     import spark.implicits._
@@ -267,60 +273,75 @@ object Extraction {
     val canonMap = canonical.select("entity_id", "canonical_id").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     val ac = new AhoCorasick(Gazetteer.surfaces)
-    // Allocation discipline (round 3): GC pressure on ONE shared heap is
-    // what caps 32-thread scaling, so the per-mention work precomputes
-    // everything derivable from the static gazetteer x canonical map:
-    //  - canonIri(p) = the FINAL "urn:<canonical>" object string per
-    //    pattern — no per-mention concat, no map lookup;
-    //  - canonKey(p) = a dense int id per DISTINCT canonical — per-turn
-    //    dedup becomes a boolean-array flag, not a HashSet[String] insert.
+    // Allocation discipline (rounds 3-4): GC pressure on ONE shared heap is
+    // what caps 32-thread scaling, so the opaque lambda emits ONE compact
+    // row per TURN — (conv_id, turn_idx, role, tool, slots: Array[Int]) —
+    // and the ~15x fan-out to triple rows happens DECLARATIVELY below, in
+    // whole-stage codegen (explode + when/concat/element_at writing
+    // straight into Tungsten rows). The previous shape emitted a
+    // 6-field tuple per TRIPLE through the row encoder: per row one tuple
+    // plus a UTF8String conversion per string field, ~6 object
+    // allocations per triple; now a triple row costs only its codegen'd
+    // concat results, and constant fields (predicates, canonical IRIs from
+    // the literal array) are written with ZERO per-row object churn.
+    //  - slots: SlotPartOf/SlotRole (+SlotTool when tool is present), then
+    //    one dense distinct-canonical index per mention (per-turn dedup via
+    //    the boolean-flag array, as before);
+    //  - canonKey(p) maps pattern -> dense distinct-canonical index, fixed
+    //    at plan time from the static gazetteer x canonical map.
     val canonIds = Gazetteer.entityIds.map(e => canonMap.getOrElse(e, e))
     val distinctCanon = canonIds.distinct
     val canonIdx = distinctCanon.zipWithIndex.toMap
-    val canonIriArr = canonIds.map("urn:" + _)
     val canonKeyArr = canonIds.map(canonIdx)
-    val bc = spark.sparkContext.broadcast((ac, canonIriArr, canonKeyArr, distinctCanon.length))
-    slim(turns).mapPartitions { it =>
-      val (trie, canonIri, canonKey, nCanon) = bc.value
+    val bc = spark.sparkContext.broadcast((ac, canonKeyArr, distinctCanon.length))
+    val perTurn = slim(turns).mapPartitions { it =>
+      val (trie, canonKey, nCanon) = bc.value
       val counts = new Array[Int](trie.numPatterns)
       val firstPos = new Array[Int](trie.numPatterns)
       val seen = new Array[Boolean](nCanon)
-      val touched = new Array[Int](trie.numPatterns)
-      // ONE output buffer for the whole partition: Iterator.flatMap drains
-      // each turn's rows (the row encoder serializes them one by one)
-      // before the next turn's lambda runs, so clear()+refill is safe and
-      // saves a buffer allocation + growth per turn
-      val out = ArrayBuffer.empty[(String, String, String, Int, String, Int)]
-      it.flatMap { case (convId, turnIdx, role, tool, turnText) =>
-        val convIri = "urn:conv:" + convId
-        val turnIri = convIri + ":" + turnIdx
-        out.clear()
-        out += ((turnIri, "urn:graft:partOf", convIri, 0, convId, turnIdx))
-        out += ((turnIri, "urn:graft:role", role, 2, convId, turnIdx))
-        if (tool != null)
-          out += ((turnIri, "urn:graft:usedTool", tool, 2, convId, turnIdx))
+      val slotBuf = new Array[Int](3 + nCanon)
+      it.map { case (convId, turnIdx, role, tool, turnText) =>
+        var n = 0
+        slotBuf(n) = SlotPartOf; n += 1
+        slotBuf(n) = SlotRole; n += 1
+        if (tool != null) { slotBuf(n) = SlotTool; n += 1 }
         val text = if (turnText == null) Array.emptyByteArray else turnText
         trie.matchStatsBytes(text, counts, firstPos)
-        var nt = 0
+        val firstMention = n
         var i = 0
         while (i < counts.length) {
           if (counts(i) > 0) {
             val k = canonKey(i)
-            if (!seen(k)) {
-              seen(k) = true
-              touched(nt) = k
-              nt += 1
-              out += ((convIri, "urn:graft:mentions", canonIri(i), 0,
-                convId, turnIdx))
-            }
+            if (!seen(k)) { seen(k) = true; slotBuf(n) = k; n += 1 }
           }
           i += 1
         }
-        i = 0
-        while (i < nt) { seen(touched(i)) = false; i += 1 }
-        out
+        i = firstMention
+        while (i < n) { seen(slotBuf(i)) = false; i += 1 }
+        // fresh right-sized array per turn: the encoder may not have
+        // serialized this row yet when the next lambda call runs
+        (convId, turnIdx, role, tool, java.util.Arrays.copyOf(slotBuf, n))
       }
-    }.toDF("s", "p", "o", "o_kind", "conv_id", "turn_idx")
+    }.toDF("conv_id", "turn_idx", "role", "tool", "slots")
+    val canonIriCol = array(distinctCanon.map(c => lit("urn:" + c)).toIndexedSeq: _*)
+    val convIri = concat(lit("urn:conv:"), col("conv_id"))
+    val turnIri = concat(convIri, lit(":"), col("turn_idx"))
+    perTurn
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        explode(col("slots")).as("slot"))
+      .select(
+        when(col("slot") >= 0, convIri).otherwise(turnIri).as("s"),
+        when(col("slot") === SlotPartOf, "urn:graft:partOf")
+          .when(col("slot") === SlotRole, "urn:graft:role")
+          .when(col("slot") === SlotTool, "urn:graft:usedTool")
+          .otherwise("urn:graft:mentions").as("p"),
+        when(col("slot") === SlotPartOf, convIri)
+          .when(col("slot") === SlotRole, col("role"))
+          .when(col("slot") === SlotTool, col("tool"))
+          .otherwise(element_at(canonIriCol, col("slot") + 1)).as("o"),
+        when(col("slot") === SlotRole || col("slot") === SlotTool, 2)
+          .otherwise(0).as("o_kind"),
+        col("conv_id"), col("turn_idx"))
   }
 
   /** The five columns the fused passes consume — projected before the

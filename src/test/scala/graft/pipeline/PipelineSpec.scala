@@ -127,6 +127,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(broadcastPath.nonEmpty)
   }
 
+  test("fused triples: the per-turn slot fan-out runs inside WholeStageCodegen") {
+    import spark.implicits._
+    val turns = Transcripts.turns(spark, sfDir)
+    val m = Extraction.mentions(spark, turns)
+    val canonical = Canonicalize.connectedComponents(spark,
+      Extraction.linkEdgesFused(spark, turns),
+      m.toDF().select(col("entity_id")).distinct())
+    val plan = Extraction.triplesFused(spark, turns, canonical)
+      .queryExecution.executedPlan.toString()
+    // the explode of the slot array and the triple-building projection must
+    // be codegen'd ('* Generate' / '* Project'): the lambda emits one
+    // compact row per turn and the ~15x triple fan-out happens in Tungsten
+    assert("\\*\\(\\d+\\) Generate explode".r.findFirstIn(plan).isDefined,
+      s"slot explode fell out of whole-stage codegen:\n$plan")
+  }
+
   test("canonicalization produces transitive alias chains") {
     import spark.implicits._
     val turns = Transcripts.turns(spark, sfDir)

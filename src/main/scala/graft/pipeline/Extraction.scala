@@ -327,15 +327,20 @@ object Extraction {
     val convIri = concat(lit("urn:conv:"), col("conv_id"))
     val turnIri = concat(convIri, lit(":"), col("turn_idx"))
     perTurn
+      // the IRI concats are projected BELOW the generate, so each is
+      // evaluated once per TURN; after the explode the ~15 triple rows
+      // only reference the already-built strings (a concat above the
+      // generate would re-allocate s per OUTPUT row)
       .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        convIri.as("conv_iri"), turnIri.as("turn_iri"),
         explode(col("slots")).as("slot"))
       .select(
-        when(col("slot") >= 0, convIri).otherwise(turnIri).as("s"),
+        when(col("slot") >= 0, col("conv_iri")).otherwise(col("turn_iri")).as("s"),
         when(col("slot") === SlotPartOf, "urn:graft:partOf")
           .when(col("slot") === SlotRole, "urn:graft:role")
           .when(col("slot") === SlotTool, "urn:graft:usedTool")
           .otherwise("urn:graft:mentions").as("p"),
-        when(col("slot") === SlotPartOf, convIri)
+        when(col("slot") === SlotPartOf, col("conv_iri"))
           .when(col("slot") === SlotRole, col("role"))
           .when(col("slot") === SlotTool, col("tool"))
           .otherwise(element_at(canonIriCol, col("slot") + 1)).as("o"),

@@ -107,13 +107,31 @@ object ScalingBench {
     // pair same-window (each rep also printed, nothing hidden)
     val repeats = if (args.length > 3) args(3).toInt else 1
     val spark = session(cpus)
+    // where the cycles go, not just how long it took: total executor task
+    // time / CPU time / GC time per level. On this one-box proxy the
+    // N->4N gap shows up as EXTRA CPU-reported seconds at 32 threads
+    // (memory-stall cycles count as CPU time) — core-seconds that a real
+    // 4N-node cluster, with 4N memory buses, does not burn.
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        runMs.addAndGet(m.executorRunTime)
+        cpuNs.addAndGet(m.executorCpuTime)
+        gcMs.addAndGet(m.jvmGCTime)
+      }
+    })
     // warmup: JIT + codegen + parquet footers, not measured
     runJob(spark, sfDir, 1, s"/tmp/graft-scaling-warmup-$cpus")
     val secsPerRep = (1 to repeats).map { rep =>
+      runMs.set(0); cpuNs.set(0); gcMs.set(0)
       val t0 = System.nanoTime()
       val triples = runJob(spark, sfDir, replication, s"/tmp/graft-scaling-out-$cpus")
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"""{"rep": $rep, "level": "local[$cpus]", "seconds": $secs%.2f}""")
+      println(f"""{"rep": $rep, "level": "local[$cpus]", "seconds": $secs%.2f, "executor_run_sec": ${runMs.get / 1000.0}%.1f, "executor_cpu_sec": ${cpuNs.get / 1e9}%.1f, "gc_sec": ${gcMs.get / 1000.0}%.1f}""")
       (secs, triples)
     }
     val (secs, triples) = secsPerRep.minBy(_._1)

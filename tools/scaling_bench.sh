@@ -13,7 +13,9 @@ OUT=$(mktemp)
 for CPUS in $SMALL $BIG; do
   # the whole JVM — GC/JIT/netty pools, not just task slots — is sized to
   # the level, like a real N-core executor (see build.sbt)
-  SPARK_JVM_CPUS=$CPUS sbt -batch "runMain graft.ScalingBench $SF $REPL $CPUS $REPS" 2>&1 | grep '"triples_per_sec"' | tee -a "$OUT"
+  # per-rep/phase/cpu-accounting lines land in /tmp/scaling-level-<N>.log
+  SPARK_JVM_CPUS=$CPUS sbt -batch "runMain graft.ScalingBench $SF $REPL $CPUS $REPS" 2>&1 \
+    | tee "/tmp/scaling-level-$CPUS.log" | grep '"triples_per_sec"' | tee -a "$OUT"
 done
 python3 - "$OUT" "$SMALL" "$BIG" <<'EOF'
 import json, sys, re

@@ -148,6 +148,39 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
     }
   }
 
+  /**
+   * Zero-COPY twin of [[matchStatsBytes]] over a Tungsten `UTF8String`:
+   * walks the string's backing memory via `Platform.getByte` (on/off-heap
+   * alike), so a text column read straight from a parquet page is matched
+   * without materializing a byte[] per row — the API the codegen'd
+   * [[graft.pipeline.MentionSlots]] expression drives.
+   */
+  def matchStatsUtf8(s: org.apache.spark.unsafe.types.UTF8String,
+                     counts: Array[Int], firstPos: Array[Int]): Unit = {
+    java.util.Arrays.fill(counts, 0)
+    java.util.Arrays.fill(firstPos, Int.MaxValue)
+    val a = dfa
+    val base = s.getBaseObject
+    val offset = s.getBaseOffset
+    val n = s.numBytes()
+    var state = 0
+    var i = 0
+    while (i < n) {
+      val c = org.apache.spark.unsafe.Platform.getByte(base, offset + i) & 0xff
+      state = if (c < Alpha) a.goto(state * Alpha + c) else 0
+      val outs = a.out(state)
+      var k = 0
+      while (k < outs.length) {
+        val idx = outs(k)
+        counts(idx) += 1
+        val start = i - patterns(idx).length + 1
+        if (start < firstPos(idx)) firstPos(idx) = start
+        k += 1
+      }
+      i += 1
+    }
+  }
+
   def matchStats(text: String, counts: Array[Int], firstPos: Array[Int]): Unit = {
     java.util.Arrays.fill(counts, 0)
     java.util.Arrays.fill(firstPos, Int.MaxValue)

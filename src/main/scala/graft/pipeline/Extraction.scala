@@ -267,73 +267,44 @@ object Extraction {
 
   def triplesFused(spark: SparkSession, turns: Dataset[Turn], canonical: DataFrame,
                    entityBroadcastLimit: Long = 5000000L, saltBuckets: Int = 16): DataFrame = {
-    import spark.implicits._
     if (entityCount(canonical, entityBroadcastLimit) > entityBroadcastLimit)
       return triplesFusedJoin(spark, turns, canonical, saltBuckets)
     val canonMap = canonical.select("entity_id", "canonical_id").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    val ac = new AhoCorasick(Gazetteer.surfaces)
     // Allocation discipline (rounds 3-4): GC pressure on ONE shared heap is
-    // what caps 32-thread scaling, so the opaque lambda emits ONE compact
-    // row per TURN — (conv_id, turn_idx, role, tool, slots: Array[Int]) —
-    // and the ~15x fan-out to triple rows happens DECLARATIVELY below, in
-    // whole-stage codegen (explode + when/concat/element_at writing
-    // straight into Tungsten rows). The previous shape emitted a
-    // 6-field tuple per TRIPLE through the row encoder: per row one tuple
-    // plus a UTF8String conversion per string field, ~6 object
-    // allocations per triple; now a triple row costs only its codegen'd
-    // concat results, and constant fields (predicates, canonical IRIs from
-    // the literal array) are written with ZERO per-row object churn.
-    //  - slots: SlotPartOf/SlotRole (+SlotTool when tool is present), then
-    //    one dense distinct-canonical index per mention (per-turn dedup via
-    //    the boolean-flag array, as before);
-    //  - canonKey(p) maps pattern -> dense distinct-canonical index, fixed
-    //    at plan time from the static gazetteer x canonical map.
+    // what caps 32-thread scaling, so the whole fused pass is DECLARATIVE —
+    // scan -> project -> explode -> project in one WholeStageCodegen span,
+    // no mapPartitions object boundary. Mention detection itself is the
+    // native codegen'd [[MentionSlots]] expression (zero-copy DFA walk over
+    // the Tungsten UTF8String); per turn it yields a slot array
+    // (SlotPartOf/SlotRole, +SlotTool when tool is present, then one dense
+    // distinct-canonical id per mention, per-turn deduped), and the ~15x
+    // fan-out to triple rows writes straight into Tungsten rows. The
+    // earlier typed-lambda shapes paid, per turn, a 5-field tuple
+    // deserialization (3 Strings + copied byte[]) plus re-serialization —
+    // measured 120 core-seconds of GC at local[16] vs 10 at local[4].
+    // canonKey(p): pattern -> dense distinct-canonical index, fixed at
+    // plan time from the static gazetteer x canonical map.
     val canonIds = Gazetteer.entityIds.map(e => canonMap.getOrElse(e, e))
     val distinctCanon = canonIds.distinct
     val canonIdx = distinctCanon.zipWithIndex.toMap
-    val canonKeyArr = canonIds.map(canonIdx)
-    val bc = spark.sparkContext.broadcast((ac, canonKeyArr, distinctCanon.length))
-    val perTurn = slim(turns).mapPartitions { it =>
-      val (trie, canonKey, nCanon) = bc.value
-      val counts = new Array[Int](trie.numPatterns)
-      val firstPos = new Array[Int](trie.numPatterns)
-      val seen = new Array[Boolean](nCanon)
-      val slotBuf = new Array[Int](3 + nCanon)
-      it.map { case (convId, turnIdx, role, tool, turnText) =>
-        var n = 0
-        slotBuf(n) = SlotPartOf; n += 1
-        slotBuf(n) = SlotRole; n += 1
-        if (tool != null) { slotBuf(n) = SlotTool; n += 1 }
-        val text = if (turnText == null) Array.emptyByteArray else turnText
-        trie.matchStatsBytes(text, counts, firstPos)
-        val firstMention = n
-        var i = 0
-        while (i < counts.length) {
-          if (counts(i) > 0) {
-            val k = canonKey(i)
-            if (!seen(k)) { seen(k) = true; slotBuf(n) = k; n += 1 }
-          }
-          i += 1
-        }
-        i = firstMention
-        while (i < n) { seen(slotBuf(i)) = false; i += 1 }
-        // fresh right-sized array per turn: the encoder may not have
-        // serialized this row yet when the next lambda call runs
-        (convId, turnIdx, role, tool, java.util.Arrays.copyOf(slotBuf, n))
-      }
-    }.toDF("conv_id", "turn_idx", "role", "tool", "slots")
+    val canonKeys = canonIds.map(canonIdx).toSeq
+    val slots = concat(
+      array(lit(SlotPartOf), lit(SlotRole)),
+      when(col("tool").isNotNull, array(lit(SlotTool)))
+        .otherwise(array().cast("array<int>")),
+      MentionSlots.mention_slots(col("text"), canonKeys, distinctCanon.length))
     val canonIriCol = array(distinctCanon.map(c => lit("urn:" + c)).toIndexedSeq: _*)
     val convIri = concat(lit("urn:conv:"), col("conv_id"))
     val turnIri = concat(convIri, lit(":"), col("turn_idx"))
-    perTurn
+    turns.toDF()
       // the IRI concats are projected BELOW the generate, so each is
       // evaluated once per TURN; after the explode the ~15 triple rows
       // only reference the already-built strings (a concat above the
       // generate would re-allocate s per OUTPUT row)
       .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
         convIri.as("conv_iri"), turnIri.as("turn_iri"),
-        explode(col("slots")).as("slot"))
+        explode(slots).as("slot"))
       .select(
         when(col("slot") >= 0, col("conv_iri")).otherwise(col("turn_iri")).as("s"),
         when(col("slot") === SlotPartOf, "urn:graft:partOf")

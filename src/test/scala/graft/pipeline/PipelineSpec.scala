@@ -76,6 +76,17 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(fused == joined)
     assert(fused.nonEmpty) // 'table'/'table scan'/'tab' overlap at one offset
+    // the zero-copy UTF8String DFA (MentionSlots) handles multibyte text
+    // identically: fused triples == compositional triples on this input
+    val m = Extraction.mentions(spark, turns)
+    val canonical = Canonicalize.connectedComponents(spark,
+      Extraction.linkEdgesFused(spark, turns),
+      m.toDF().select(col("entity_id")).distinct())
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getString(4), r.getInt(5))).toSet
+    assert(asSet(Extraction.triplesFused(spark, turns, canonical)) ==
+      asSet(Extraction.triples(m, canonical, turns.toDF())))
   }
 
   test("fused link edges equal the generic join-based implementation") {

@@ -33,7 +33,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ParallelGC + a bounded Tungsten page size keeps allocation regular.
   "-XX:+UseParallelGC",
   "-Dspark.buffer.pageSize=4m",
-) ++ sys.env.get("SPARK_JVM_CPUS").map(n =>
+) ++ sys.env.get("SPARK_JVM_XMN").map(n =>
+  // optional young-gen override for GC experiments (ScalingBench): the
+  // fused extraction is an allocation-streaming workload — almost nothing
+  // survives a minor collection — so a larger eden trades pause frequency
+  // directly against promotion pressure
+  s"-Xmn$n").toSeq ++ sys.env.get("SPARK_JVM_CPUS").map(n =>
   // Two-cluster-size proxy fairness (ScalingBench): local[N] only limits
   // TASK slots — GC/JIT/netty pools still size from the host's 32 cores,
   // so the small "cluster" silently borrows the whole box. This makes the

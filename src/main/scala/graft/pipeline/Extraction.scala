@@ -79,47 +79,23 @@ object Extraction {
    * linkEdges(mentions, 0).
    */
   def linkEdgesFused(spark: SparkSession, turns: Dataset[Turn]): DataFrame = {
-    import spark.implicits._
-    val ac = new AhoCorasick(Gazetteer.surfaces)
-    val bc = spark.sparkContext.broadcast((ac, Gazetteer.entityIds))
-    // Same-offset pairs depend on each turn's TEXT alone — project to the
-    // one needed column BEFORE the opaque mapPartitions so Catalyst prunes
-    // the rest of the row (a typed Dataset[Turn] pass would materialize
-    // conv/role/tool/ts per turn: wasted columns off a 100 TB scan, and at
-    // local[32] wasted allocations on the shared heap). The projection is
-    // `encode(text, UTF-8)` so the DFA runs over raw UTF-8 bytes — no
-    // per-turn UTF-16 decode (see AhoCorasick.matchStatsBytes).
-    turns.select(encode(col("text"), "UTF-8")).as[Array[Byte]].mapPartitions { it =>
-      val (trie, entityIds) = bc.value
-      val counts = new Array[Int](trie.numPatterns)
-      val firstPos = new Array[Int](trie.numPatterns)
-      val empty = Array.emptyByteArray
-      // partition-lifetime buffer (drained per turn before refill — see
-      // triplesFused): one fewer allocation per turn on the shared heap
-      val pairs = ArrayBuffer.empty[(String, String)]
-      it.flatMap { turnText =>
-        val text = if (turnText == null) empty else turnText
-        trie.matchStatsBytes(text, counts, firstPos)
-        // same-offset pairs, found by a local O(k^2) sweep over the <=|gaz|
-        // matched patterns of this turn (k is tiny and bounded)
-        pairs.clear()
-        var i = 0
-        while (i < counts.length) {
-          if (counts(i) > 0) {
-            var j = i + 1
-            while (j < counts.length) {
-              if (counts(j) > 0 && firstPos(i) == firstPos(j)) {
-                val a = entityIds(i); val b = entityIds(j)
-                pairs += (if (a < b) (a, b) else (b, a))
-              }
-              j += 1
-            }
-          }
-          i += 1
-        }
-        pairs
-      }
-    }.toDF("entity_a", "entity_b")
+    // Fully declarative since round 4: the same-offset pair sweep is the
+    // native codegen'd [[MentionPairs]] expression (zero-copy DFA over the
+    // Tungsten UTF8String, O(matched^2) local sweep), returning encoded
+    // pattern-index pairs per turn; decode to entity ids is div/mod +
+    // element_at on a literal array (zero per-row object churn), ordering
+    // mirrors the original lexicographic (a, b) normalization via
+    // least/greatest, and the per-pair count agg stays the only shuffle.
+    // No mapPartitions boundary: scan -> project -> explode -> project ->
+    // partial agg in ONE WholeStageCodegen span, and Catalyst prunes the
+    // scan to the text column on its own.
+    val nPat = Gazetteer.surfaces.length
+    val entArr = array(Gazetteer.entityIds.map(lit).toIndexedSeq: _*)
+    val ea = element_at(entArr, (col("pair") / nPat).cast("int") + 1)
+    val eb = element_at(entArr, pmod(col("pair"), lit(nPat)) + 1)
+    turns.toDF()
+      .select(explode(MentionPairs.mention_pairs(col("text"))).as("pair"))
+      .select(least(ea, eb).as("entity_a"), greatest(ea, eb).as("entity_b"))
       .groupBy("entity_a", "entity_b")
       .agg(count(lit(1)).as("weight"))
   }

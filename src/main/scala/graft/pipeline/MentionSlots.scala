@@ -86,7 +86,7 @@ object MentionSlots {
     val slots = new Array[Int](nPatterns)
   }
 
-  private val eu = org.apache.spark.sql.graftbridge.ColumnBridge
+  private[pipeline] val eu = org.apache.spark.sql.graftbridge.ColumnBridge
 
   /** Column builder; null text yields no mentions (coalesced to ""). */
   def mention_slots(text: Column, canonKeys: Seq[Int], nCanon: Int): Column =
@@ -94,4 +94,77 @@ object MentionSlots {
       eu.expression(org.apache.spark.sql.functions.coalesce(
         text, org.apache.spark.sql.functions.lit(""))),
       canonKeys, nCanon))
+}
+
+/**
+ * Same-offset mention PAIRS of a text column as a native codegen'd
+ * expression — the candidate-link edge kernel (T2) with no mapPartitions
+ * boundary, the [[MentionSlots]] treatment applied to
+ * [[Extraction.linkEdgesFused]]. Per turn it returns the pattern-index
+ * pairs (i, j), i < j, whose first occurrences start at the same byte
+ * offset, encoded as `i * numPatterns + j` ints; the caller decodes and
+ * maps to entity ids declaratively (div/mod + element_at on a literal
+ * array) and aggregates the per-pair weights — the only shuffle.
+ */
+case class MentionPairs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val scratch: ThreadLocal[MentionSlots.Scratch] =
+    ThreadLocal.withInitial(() =>
+      new MentionSlots.Scratch(MentionSlots.trie.numPatterns, 1))
+
+  def pairsFor(s: UTF8String): ArrayData = {
+    val sc = scratch.get()
+    val trie = MentionSlots.trie
+    trie.matchStatsUtf8(s, sc.counts, sc.firstPos)
+    val nPat = sc.counts.length
+    // gather matched patterns first: the pair sweep is O(k^2) over the
+    // matched set, not O(nPat^2) over the gazetteer
+    var k = 0
+    var i = 0
+    while (i < nPat) {
+      if (sc.counts(i) > 0) { sc.slots(k) = i; k += 1 }
+      i += 1
+    }
+    var n = 0
+    var out: Array[Int] = null
+    i = 0
+    while (i < k) {
+      var j = i + 1
+      while (j < k) {
+        if (sc.firstPos(sc.slots(i)) == sc.firstPos(sc.slots(j))) {
+          if (out == null) out = new Array[Int](k * (k - 1) / 2)
+          out(n) = sc.slots(i) * nPat + sc.slots(j)
+          n += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (out == null) MentionPairs.emptyResult
+    else UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, n))
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    pairsFor(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mentionPairs", this, classOf[MentionPairs].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.pairsFor($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MentionPairs =
+    copy(child = newChild)
+}
+
+object MentionPairs {
+  private val emptyResult: ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(Array.emptyIntArray)
+
+  /** Column builder; null text yields no pairs (coalesced to ""). */
+  def mention_pairs(text: Column): Column =
+    MentionSlots.eu.column(MentionPairs(
+      MentionSlots.eu.expression(org.apache.spark.sql.functions.coalesce(
+        text, org.apache.spark.sql.functions.lit("")))))
 }

@@ -31,7 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // with 32 concurrent tasks that degenerates into a GC death spiral
   // (observed: 231s GC / 339s cpu / 2700s blocked in one join stage).
   // ParallelGC + a bounded Tungsten page size keeps allocation regular.
-  "-XX:+UseParallelGC",
+  // SPARK_JVM_GC overrides for experiments (e.g. "UseG1GC" — viable again
+  // now that spark.buffer.pageSize=4m removed the humongous allocations).
+  s"-XX:+${sys.env.getOrElse("SPARK_JVM_GC", "UseParallelGC")}",
   "-Dspark.buffer.pageSize=4m",
 ) ++ sys.env.get("SPARK_JVM_XMN").map(n =>
   // optional young-gen override for GC experiments (ScalingBench): the

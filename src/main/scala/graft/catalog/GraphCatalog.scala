@@ -33,6 +33,12 @@ trait GraphCatalog {
   def write(graphIri: String, triples: DataFrame, overwrite: Boolean = true,
             leadingComments: Seq[String] = Nil): Long
   def read(graphIri: String): (Seq[String], DataFrame)
+  /** Rewrite the graph's live file sets into one (the Iceberg
+    * `rewrite_data_files` analogue for long delta-append chains): commits
+    * the current content as a fresh single-file-set snapshot. Time travel
+    * to earlier snapshots is unaffected (their file sets are immutable).
+    * Returns the new snapshot id. */
+  def compact(graphIri: String): Long
   /** Iceberg-style time travel: read a specific committed snapshot. */
   def readAt(graphIri: String, snapshotId: Long): (Seq[String], DataFrame)
   /** Committed snapshot ids for a graph, ascending. */
@@ -238,6 +244,16 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
   private def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
   private def jarr(xs: Seq[String]): String = xs.map(jstr).mkString("[", ",", "]")
+
+  /** Compaction = an overwrite commit of the current content: the new
+    * snapshot's single file set is written BEFORE its manifest is
+    * published, so readers of the current snapshot (the union of the old
+    * file sets, all immutable) are never disturbed mid-rewrite. */
+  def compact(graphIri: String): Long = {
+    val resolved = GraphCatalog.resolveGraphIri(graphIri)
+    val (comments, df) = read(resolved)
+    write(resolved, df, overwrite = true, leadingComments = comments)
+  }
 
   /** Workflow URNs resolve to their master graph THROUGHOUT the surface
     * (read/readAt/snapshots/exists/ask/count/selectLimit) — the reference

@@ -95,6 +95,30 @@ class GraphCatalogSpec extends AnyFunSuite {
     assert(cat.count("urn:nulls") == 2L)
   }
 
+  test("compact folds a delta-append chain into one file set, history intact") {
+    val rootDir = Files.createTempDirectory("graftcat12")
+    val cat = new ParquetSnapshotCatalog(spark, rootDir.toString)
+    val iri = "urn:compact"
+    cat.write(iri, tripleDf(4, "a"))
+    cat.write(iri, tripleDf(3, "b"), overwrite = false)
+    // comments belong to the snapshot that committed them (append included)
+    cat.write(iri, tripleDf(2, "c"), overwrite = false, leadingComments = Seq("hdr"))
+    assert(cat.count(iri) == 9L)
+    val id = cat.compact(iri)
+    assert(id == 4L)
+    assert(cat.count(iri) == 9L) // content unchanged
+    assert(cat.read(iri)._1 == Seq("hdr")) // latest comments carried over
+    // the compacted snapshot reads from exactly ONE file set
+    val enc = java.net.URLEncoder.encode(iri, "UTF-8")
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      rootDir.resolve("_snapshots").resolve(enc).resolve("000000004.json")), "UTF-8")
+    assert("\"paths\": \\[[^\\]]*\\]".r.findFirstIn(manifest)
+      .exists(p => p.split(",").length == 1))
+    // time travel to the pre-compaction chain still works
+    assert(cat.readAt(iri, 3L)._2.count() == 9L)
+    assert(cat.readAt(iri, 1L)._2.count() == 4L)
+  }
+
   test("a legacy flat _snapshots layout is migrated, not silently emptied") {
     val rootDir = Files.createTempDirectory("graftcat11")
     val cat = new ParquetSnapshotCatalog(spark, rootDir.toString)

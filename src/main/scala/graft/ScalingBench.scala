@@ -9,9 +9,23 @@ import org.apache.spark.sql.functions._
  * Two-cluster-size scaling evidence for the north rule (BASELINE.json:
  * "run via spark-submit at N and 4N executors with throughput scaling
  * efficiency >= 0.8"). No real cluster exists in this sandbox, so per the
- * driver instruction the SAME job runs at two parallelism levels
- * (local[N] vs local[4N], shuffle partitions scaled alike) on the SAME
- * input; efficiency = throughput(4N) / (4 x throughput(N)).
+ * driver instruction the SAME job runs at two parallelism levels on the
+ * SAME input; efficiency = throughput(4N) / (4 x throughput(N)).
+ *
+ * Two proxies are supported via the level spec:
+ *   - `local[N]` (spec "8", "32"): single JVM, N task slots, whole JVM
+ *     sized to N cores (build.sbt ActiveProcessorCount). Round-4 finding:
+ *     this proxy caps ~0.65 at 8->32 because one shared heap's
+ *     stop-the-world GC pauses charge all 32 threads at once (GC share of
+ *     executor core-seconds 3.5% -> 17.8%) — a term a real 4N deployment
+ *     divides across 4N separate executor heaps.
+ *   - `local-cluster[W,C,MB]` (spec "WxCxMB", e.g. "4x8x12288"): the
+ *     round-5 multi-heap proxy — an in-process standalone master/worker
+ *     forks W REAL executor JVMs with C cores and an MB-sized heap each,
+ *     so 8->32 can be measured as 1 heap -> 4 heaps on the same box. This
+ *     proxy pays costs local[N] skips (real task/broadcast serialization,
+ *     shuffle over loopback TCP), so it is the conservative side of a real
+ *     4N-node cluster, which also gets 4N memory buses.
  *
  * The job is the full KG-construction dataflow (synthesize -> mention
  * detection -> link edges -> connected components -> triple extraction ->
@@ -20,11 +34,31 @@ import org.apache.spark.sql.functions._
  * than fixed-overhead-bound (each replica gets distinct doc_ids, hence
  * distinct conv_ids — same data volume per run, no RNG).
  *
- * Usage: ScalingBench [sfDir] [replication] [smallN] [bigN]
- * Prints one JSON line per level plus the efficiency line; also appended by
- * the operator to BENCH.md / BASELINE.md.
+ * Usage: ScalingBench [sfDir] [replication] [levelSpec] [repeats]
+ * Cluster specs need SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 in the
+ * environment (the worker launches executors through the spark launcher).
+ * Prints one JSON line per rep plus a summary line; recorded by the
+ * operator in BENCH.md / BASELINE.md.
  */
 object ScalingBench {
+
+  /** Parsed parallelism level: either local[cpus] or local-cluster[w,c,mb]. */
+  sealed trait Level { def totalCores: Int; def label: String }
+  final case class LocalLevel(cpus: Int) extends Level {
+    def totalCores: Int = cpus
+    def label: String = s"local[$cpus]"
+  }
+  final case class ClusterLevel(workers: Int, cores: Int, memMb: Int) extends Level {
+    def totalCores: Int = workers * cores
+    def label: String = s"local-cluster[$workers,$cores,$memMb]"
+  }
+
+  def parseLevel(spec: String): Level = spec.split('x') match {
+    case Array(n) => LocalLevel(n.toInt)
+    case Array(w, c, m) => ClusterLevel(w.toInt, c.toInt, m.toInt)
+    case _ => throw new IllegalArgumentException(
+      s"level spec '$spec' — want N (local[N]) or WxCxMB (local-cluster)")
+  }
 
   /**
    * Deterministically amplify documents: R replicas with shifted doc_ids,
@@ -74,39 +108,82 @@ object ScalingBench {
     obs.get("n").asInstanceOf[Long]
   }
 
-  private def session(cpus: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName(s"graft-scaling-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus)
+  /** JDK17 module opens + per-core sizing for forked executor JVMs
+   *  (mirrors build.sbt's driver-side options, incl. the GC choice the
+   *  round-4 experiments selected). */
+  private def executorJavaOptions(cores: Int, memMb: Int): String = (Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).map(p => s"--add-opens=$p=ALL-UNNAMED") ++ Seq(
+    s"-XX:+${sys.env.getOrElse("SPARK_JVM_GC", "UseParallelGC")}",
+    // each executor JVM believes it has its worker's cores, like a real
+    // C-core node (GC/JIT/netty pools size from this)
+    s"-XX:ActiveProcessorCount=$cores",
+    // pre-size the heap: growing W heaps from the tiny default -Xms inside
+    // the FIRST measured rep cost 400+ GC core-seconds per observed run
+    // (rep-1 outliers in BENCH.md round 5); Spark only sets -Xmx
+    s"-Xms${memMb}m",
+  )).mkString(" ")
+
+  private def session(level: Level): SparkSession = {
+    val b = SparkSession.builder()
+      .master(level.label)
+      .appName(s"graft-scaling-${level.label}")
+      .config("spark.sql.shuffle.partitions", level.totalCores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // G1 treats Tungsten's default 64MB task pages as humongous
+      // allocations; bounded pages keep allocation regular on every heap
+      // (explicit conf so it reaches forked executors, not just the driver)
+      .config("spark.buffer.pageSize", "4m")
       // both parallelism levels share ONE disk in this sandbox (a real 4N
       // cluster brings 4N spindles); zstd keeps the materialize stage from
       // pinning the comparison on that shared device
       .config("spark.sql.parquet.compression.codec", "zstd")
-      .getOrCreate()
+    val withMode = level match {
+      case LocalLevel(_) => b
+      case ClusterLevel(w, c, m) => b
+        .config("spark.executor.cores", c.toString)
+        .config("spark.executor.memory", s"${m}m")
+        // forked executors must see the app classes (sbt classpath) — there
+        // is no spark-submit jar distribution in this harness
+        .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+        .config("spark.executor.extraJavaOptions", executorJavaOptions(c, m))
+        // measure only once EVERY executor is registered: a rep that runs
+        // on 3 of 4 workers is not a 4N measurement
+        .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
+        .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
+    }
+    val s = withMode.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
 
   /**
-   * One level per JVM (order effects — heap growth, GC state, shuffle dirs —
-   * pollute same-JVM comparisons). Orchestrate with two invocations:
-   *   ScalingBench <sfDir> <replication> <cpus>
+   * One level per OS process (order effects — heap growth, GC state, shuffle
+   * dirs — pollute same-JVM comparisons). Orchestrate with two invocations:
+   *   ScalingBench <sfDir> <replication> <levelSpec> <repeats>
    * (tools/scaling_bench.sh runs both levels and computes the efficiency.)
    */
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val replication = if (args.length > 1) args(1).toInt else 64
-    val cpus = if (args.length > 2) args(2).toInt else 8
+    val level = parseLevel(if (args.length > 2) args(2) else "8")
     // in-JVM repeats: hypervisor steal on this shared sandbox varies minute
     // to minute; the min of k back-to-back runs is the closest observable
     // to true machine capability, and taking it INSIDE one JVM keeps the
     // pair same-window (each rep also printed, nothing hidden)
     val repeats = if (args.length > 3) args(3).toInt else 1
-    val spark = session(cpus)
+    // distinct output dirs let INDEPENDENT ScalingBench JVMs run
+    // concurrently (the 4-concurrent-8-core-JVMs multi-heap proxy)
+    val outTag = if (args.length > 4) args(4) else level.totalCores.toString
+    val spark = session(level)
     // where the cycles go, not just how long it took: total executor task
     // time / CPU time / GC time per level. On this one-box proxy the
     // N->4N gap shows up as EXTRA CPU-reported seconds at 32 threads
@@ -124,19 +201,35 @@ object ScalingBench {
         gcMs.addAndGet(m.jvmGCTime)
       }
     })
-    // warmup: JIT + codegen + parquet footers, not measured
-    runJob(spark, sfDir, 1, s"/tmp/graft-scaling-warmup-$cpus")
+    // the listener bus is async: stage-completed events can land after the
+    // action returns (and would otherwise leak into the NEXT rep's window).
+    // Poll until the counters are stable before reading or resetting.
+    def drainListenerBus(): Unit = {
+      var prev = -1L
+      var stable = 0
+      var waitedMs = 0
+      while (stable < 3 && waitedMs < 10000) {
+        val cur = runMs.get ^ (cpuNs.get * 31) ^ (gcMs.get * 961)
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        Thread.sleep(100); waitedMs += 100
+      }
+    }
+    // warmup: JIT + codegen + parquet footers (and, in cluster mode,
+    // executor registration), not measured
+    runJob(spark, sfDir, 1, s"/tmp/graft-scaling-warmup-$outTag")
     val secsPerRep = (1 to repeats).map { rep =>
+      drainListenerBus()
       runMs.set(0); cpuNs.set(0); gcMs.set(0)
       val t0 = System.nanoTime()
-      val triples = runJob(spark, sfDir, replication, s"/tmp/graft-scaling-out-$cpus")
+      val triples = runJob(spark, sfDir, replication, s"/tmp/graft-scaling-out-$outTag")
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"""{"rep": $rep, "level": "local[$cpus]", "seconds": $secs%.2f, "executor_run_sec": ${runMs.get / 1000.0}%.1f, "executor_cpu_sec": ${cpuNs.get / 1e9}%.1f, "gc_sec": ${gcMs.get / 1000.0}%.1f}""")
+      drainListenerBus()
+      println(f"""{"rep": $rep, "level": "${level.label}", "seconds": $secs%.2f, "executor_run_sec": ${runMs.get / 1000.0}%.1f, "executor_cpu_sec": ${cpuNs.get / 1e9}%.1f, "gc_sec": ${gcMs.get / 1000.0}%.1f}""")
       (secs, triples)
     }
     val (secs, triples) = secsPerRep.minBy(_._1)
     val tput = triples / secs
-    println(f"""{"level": "local[$cpus]", "triples": $triples, "seconds": $secs%.2f, "triples_per_sec": $tput%.0f, "reps": $repeats}""")
+    println(f"""{"level": "${level.label}", "cores": ${level.totalCores}, "triples": $triples, "seconds": $secs%.2f, "triples_per_sec": $tput%.0f, "reps": $repeats}""")
     spark.stop()
   }
 }

@@ -97,13 +97,26 @@ object SparkEntry {
 
   // Materialized IVF index (trained centroids + cell-partitioned corpus
   // table): built once per (session, sf) like the other stage artifacts.
+  // memo keyed by the session OBJECT in a WeakHashMap (identityHashCode can
+  // collide or be reused after GC and would serve a stale index across
+  // sessions); the temp index dirs are registered for deletion at JVM exit
   private val ivfMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, Seq[Seq[Double]])]
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[String, (String, Seq[Seq[Double]])]]())
   private def ivfIndex(s: SparkSession, dir: String): (String, Seq[Seq[Double]]) =
-    ivfMemo.getOrElseUpdate((System.identityHashCode(s), dir), {
+    ivfMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(dir, {
       val cents = Ann.trainIvfCentroids(s.read.parquet(s"$dir/embeddings.parquet"))
         .map(_.toSeq).toSeq
-      val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/index"
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Throwable => () }))
+      val path = tmp.toString + "/index"
       Ann.writeIvfIndex(s.read.parquet(s"$dir/embeddings.parquet"), path, cents)
       (path, cents)
     })

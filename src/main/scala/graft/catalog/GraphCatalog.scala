@@ -39,6 +39,15 @@ trait GraphCatalog {
     * to earlier snapshots is unaffected (their file sets are immutable).
     * Returns the new snapshot id. */
   def compact(graphIri: String): Long
+  /** Iceberg-style `expire_snapshots`: drop all but the newest `keepLast`
+    * snapshots of a graph and physically delete every data file set no
+    * retained snapshot references (delta-append chains share file sets, so
+    * the keep set is the UNION of retained snapshots' paths). Orphaned
+    * uncommitted `v<id>` dirs (a writer died between its parquet write and
+    * its manifest rename) are reclaimed by the same pass. Time travel to
+    * retained ids is unaffected; reading an expired id errors. Returns the
+    * expired snapshot ids. */
+  def expireSnapshots(graphIri: String, keepLast: Int): Seq[Long]
   /** Iceberg-style time travel: read a specific committed snapshot. */
   def readAt(graphIri: String, snapshotId: Long): (Seq[String], DataFrame)
   /** Committed snapshot ids for a graph, ascending. */
@@ -136,7 +145,10 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
         val dir = new HPath(snapDir, m.group(1))
         fs.mkdirs(dir)
         val dest = new HPath(dir, f"${m.group(2).toLong}%09d.json")
-        if (!fs.rename(st.getPath, dest))
+        // two processes opening the same root race this migration: the
+        // loser's rename fails because the winner already moved the file —
+        // that is success (destination committed), not an error
+        if (!fs.rename(st.getPath, dest) && !(fs.exists(dest) && !fs.exists(st.getPath)))
           throw new java.io.IOException(
             s"legacy snapshot-layout migration failed: could not move ${st.getPath} to $dest; " +
               "migrate _snapshots/<graph>.<id>.json files into _snapshots/<graph>/<id>.json manually")
@@ -219,6 +231,16 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
       } else {
         val prevPaths = manifestPaths(prev.get._2)
         val prevDf = spark.read.parquet(prevPaths: _*)
+        // a silent select() here would DROP extra incoming columns (and
+        // surface a missing one as a generic AnalysisException) — fail
+        // loudly, naming the mismatch, before any data moves
+        val incoming = triples.columns.toSet
+        val expected = prevDf.columns.toSet
+        if (incoming != expected)
+          throw new IllegalArgumentException(
+            s"append to graph $resolved: column mismatch vs current snapshot — " +
+              s"missing ${(expected -- incoming).toSeq.sorted.mkString("[", ",", "]")}, " +
+              s"unexpected ${(incoming -- expected).toSeq.sorted.mkString("[", ",", "]")}")
         val ordered = triples.select(prevDf.columns.map(col).toIndexedSeq: _*)
         val delta = ordered.dropDuplicates(TripleKey).alias("d")
           .join(prevDf.alias("prev"),
@@ -252,7 +274,65 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
   def compact(graphIri: String): Long = {
     val resolved = GraphCatalog.resolveGraphIri(graphIri)
     val (comments, df) = read(resolved)
-    write(resolved, df, overwrite = true, leadingComments = comments)
+    val id = write(resolved, df, overwrite = true, leadingComments = comments)
+    reclaimOrphans(resolved)
+    id
+  }
+
+  /**
+   * Delete `v<id>` data dirs that no committed manifest references — the
+   * debris of writers that died between their parquet write and their
+   * manifest rename. Safety against a LIVE in-flight writer: only dirs with
+   * id < the latest committed id are touched. An in-flight writer always
+   * targets id = (latest it observed) + 1 ≥ current latest + 1 unless it is
+   * stale — and a stale writer's manifest rename will fail anyway (its
+   * `<id>.json` destination already exists), so reclaiming its dir cannot
+   * create a manifest that names deleted data.
+   */
+  private def reclaimOrphans(resolved: String): Unit = {
+    val manifests = snapshotManifests(resolved)
+    if (manifests.isEmpty) return
+    val latestId = manifests.last._1
+    val referenced = manifests.flatMap { case (_, p) => manifestPaths(p) }
+      .map(s => new HPath(s).getName).toSet
+    val gdir = graphDataDir(resolved)
+    if (!fs.exists(gdir)) return
+    val vdir = java.util.regex.Pattern.compile("v(\\d+)")
+    fs.listStatus(gdir).foreach { st =>
+      val m = vdir.matcher(st.getPath.getName)
+      if (st.isDirectory && m.matches() && m.group(1).toLong < latestId &&
+          !referenced.contains(st.getPath.getName))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  def expireSnapshots(graphIri: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast)")
+    val resolved = GraphCatalog.resolveGraphIri(graphIri)
+    val manifests = snapshotManifests(resolved)
+    if (manifests.isEmpty)
+      throw new IllegalArgumentException(s"No such graph: $resolved")
+    val (expired, retained) = manifests.splitAt((manifests.size - keepLast).max(0))
+    // keep = union over RETAINED snapshots (delta chains share file sets;
+    // an old file set referenced by a retained snapshot must survive)
+    val keepDirs = retained.flatMap { case (_, p) => manifestPaths(p) }
+      .map(s => new HPath(s).getName).toSet
+    // drop the expired manifests FIRST: a reader that races this pass sees
+    // either a still-complete snapshot or "no such snapshot", never a
+    // manifest whose files are gone
+    expired.foreach { case (_, p) => fs.delete(p, false) }
+    val latestId = retained.last._1
+    val gdir = graphDataDir(resolved)
+    if (fs.exists(gdir)) {
+      val vdir = java.util.regex.Pattern.compile("v(\\d+)")
+      fs.listStatus(gdir).foreach { st =>
+        val m = vdir.matcher(st.getPath.getName)
+        if (st.isDirectory && m.matches() && m.group(1).toLong < latestId &&
+            !keepDirs.contains(st.getPath.getName))
+          fs.delete(st.getPath, true)
+      }
+    }
+    expired.map(_._1)
   }
 
   /** Workflow URNs resolve to their master graph THROUGHOUT the surface
@@ -318,22 +398,29 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
   /** COUNT(*) over the named graph — partial+final count agg (SURVEY O9). */
   def count(graphIri: String): Long = read(graphIri)._2.count()
 
-  /** ASK — LIMIT-1 short-circuit, not a scan (SURVEY O10). */
+  /** ASK — LIMIT-1 short-circuit, not a scan (SURVEY O10). One snapshot
+    * probe: the old exists()+read() pair listed the snapshot dir twice. */
   def ask(graphIri: String): Boolean =
-    exists(graphIri) && !read(graphIri)._2.isEmpty
+    latestSnapshot(GraphCatalog.resolveGraphIri(graphIri)) match {
+      case None => false
+      case Some((_, manifest)) => !readManifest(manifest)._2.isEmpty
+    }
 
   /** SELECT * {?s ?p ?o} LIMIT n (SURVEY O11). */
   def selectLimit(graphIri: String, n: Int): DataFrame =
     read(graphIri)._2.select("s", "p", "o").limit(n)
 
-  /** Graph IRIs with at least one committed snapshot — one listing of the
-    * per-graph subdirectory names, no manifest reads. */
+  /** Graph IRIs with at least one committed snapshot. ONE glob pass over
+    * `_snapshots/<asterisk>/<asterisk>.json` (a single flat LIST on object
+    * stores) instead of a per-graph-directory listing loop — the catalog
+    * metadata path a million-graph deployment hits constantly. */
   def graphs(): Seq[String] = {
-    if (!fs.exists(snapDir)) Vector.empty
-    else fs.listStatus(snapDir).toVector
-      .filter(_.isDirectory)
-      .map(st => java.net.URLDecoder.decode(st.getPath.getName, "UTF-8"))
-      .filter(iri => latestSnapshot(iri).isDefined)
+    val matches = fs.globStatus(new HPath(snapDir, "*/*.json"))
+    if (matches == null) Vector.empty
+    else matches.toVector
+      .filter(st => st.isFile && ManifestName.matcher(st.getPath.getName).matches())
+      .map(st => java.net.URLDecoder.decode(st.getPath.getParent.getName, "UTF-8"))
+      .distinct
       .sorted
   }
 }

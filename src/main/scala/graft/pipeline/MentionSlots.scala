@@ -114,11 +114,23 @@ case class MentionPairs(child: Expression) extends UnaryExpression {
     ThreadLocal.withInitial(() =>
       new MentionSlots.Scratch(MentionSlots.trie.numPatterns, 1))
 
+  // the `i * numPatterns + j` Int encoding overflows silently at 46341
+  // patterns (46341^2 > 2^31) — fail at first use instead of producing
+  // wrong entity pairs; a gazetteer that large should widen the encoding
+  // to ArrayType(LongType)
+  @transient private lazy val nPatChecked: Int = {
+    val n = MentionSlots.trie.numPatterns
+    require(n < 46341,
+      s"MentionPairs' Int pair encoding supports < 46341 patterns (gazetteer has $n); " +
+        "widen the encoding to ArrayType(LongType) before scaling the gazetteer")
+    n
+  }
+
   def pairsFor(s: UTF8String): ArrayData = {
     val sc = scratch.get()
     val trie = MentionSlots.trie
     trie.matchStatsUtf8(s, sc.counts, sc.firstPos)
-    val nPat = sc.counts.length
+    val nPat = nPatChecked
     // gather matched patterns first: the pair sweep is O(k^2) over the
     // matched set, not O(nPat^2) over the gazetteer
     var k = 0

@@ -51,6 +51,21 @@ object Pipeline {
 
     def isDone(name: String): Boolean = fs.exists(manifest(name))
 
+    /** Committed row count from a stage's `_COMMIT.json`, -1 if absent. */
+    private def committedRows(name: String): Long = {
+      val in = fs.open(manifest(name))
+      val bytes =
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          out.toByteArray
+        } finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      if (node.has("rows")) node.get("rows").asLong() else -1L
+    }
+
     private[pipeline] def commitMarker(name: String, body: String): Unit = {
       val dir = stageDir(name)
       fs.mkdirs(dir)
@@ -66,7 +81,19 @@ object Pipeline {
       val dataPath = new HPath(stageDir(name), "data").toString
       if (isDone(name)) {
         val df = spark.read.parquet(dataPath)
-        metrics += StageMetric(name, -1L, df.rdd.getNumPartitions, 0.0, 0.0,
+        // resume validation: the manifest's committed row count vs the data
+        // actually on disk. A torn/truncated data dir under an intact
+        // _COMMIT.json (partial restore, manual deletion) must fail loudly,
+        // not resume silently with wrong data. Cost: ONE zero-column count
+        // job per resumed stage (parquet count materializes no columns).
+        val committed = committedRows(name)
+        val actual = df.count()
+        if (committed >= 0 && actual != committed)
+          throw new IllegalStateException(
+            s"stage $name resume validation failed: _COMMIT.json records $committed rows " +
+              s"but $dataPath holds $actual — the stage data was modified after commit; " +
+              s"delete ${stageDir(name)} to recompute")
+        metrics += StageMetric(name, actual, df.rdd.getNumPartitions, 0.0, 0.0,
           inputs.mkString(",") + " [resumed]")
         return df
       }

@@ -127,4 +127,59 @@ object StreamingExtraction {
           }
       }
   }
+
+  /**
+   * End-to-end INCREMENTAL KG construction: the streaming pieces wired into
+   * one resumable job. `readStream` over a growing transcript directory →
+   * the batch extraction operators on each micro-batch (T1–T3, identical
+   * code path — the Dataset API unifies batch and stream) → `foreachBatch`
+   * DELTA-append into the snapshot catalog. `Trigger.AvailableNow` +
+   * `checkpointLocation` is the production cadence: each invocation
+   * processes ONLY transcript files that arrived since the last run (the
+   * checkpoint's file-source log), appends one delta snapshot per
+   * micro-batch, and exits — a growing table updates the graph without ever
+   * reprocessing history, and a crashed run resumes from the checkpoint.
+   *
+   * `canonical` is the entity-canonicalization dimension (T4): a global
+   * fixpoint by definition, so the stream consumes the current mapping as a
+   * broadcast dimension and a periodic batch job rebuilds it — the standard
+   * streaming-entity-linking split (stream = per-row extraction; batch =
+   * corpus-global canonicalization). With a mapping built on the full
+   * corpus, the streamed graph's triple set equals the batch pipeline's
+   * exactly (spec-asserted).
+   *
+   * Exactly-once: the file-source offsets commit through the checkpoint;
+   * on a crash between the catalog append and the offset commit, the batch
+   * REPLAYS — and the catalog's null-safe anti-join append makes the replay
+   * idempotent on content (the duplicate delta collapses to empty), so the
+   * graph converges to the same triple set either way.
+   */
+  def incrementalGraph(spark: SparkSession, inputDir: String,
+                       canonical: DataFrame, catalogRoot: String,
+                       graphIri: String, checkpointDir: String): Unit = {
+    import spark.implicits._
+    val catalog = new graft.catalog.ParquetSnapshotCatalog(spark, catalogRoot)
+    val q = turnStream(spark, inputDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Turn], _: Long) =>
+        // an empty planning artifact must not commit an empty delta snapshot
+        if (!batch.isEmpty) {
+          val mentions = Extraction.mentions(spark, batch)
+          val triples = Extraction.triples(mentions, canonical, batch.toDF())
+          val asRows = triples.select(
+            col("s"), lit(graft.model.TermKind.Iri).as("s_kind"), col("p"),
+            col("o"), col("o_kind"),
+            lit(null).cast("string").as("o_dtype"),
+            lit(null).cast("string").as("o_lang"))
+          // overwrite=false: first batch seeds v1, every later batch is a
+          // delta commit (only genuinely-new triples are written)
+          catalog.write(graphIri, asRows, overwrite = false)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -119,6 +119,89 @@ class GraphCatalogSpec extends AnyFunSuite {
     assert(cat.readAt(iri, 1L)._2.count() == 4L)
   }
 
+  test("expireSnapshots keeps time travel for retained ids, deletes the rest") {
+    val rootDir = Files.createTempDirectory("graftcat13")
+    val cat = new ParquetSnapshotCatalog(spark, rootDir.toString)
+    val iri = "urn:expire"
+    cat.write(iri, tripleDf(4, "a"))                       // v1 (overwrite)
+    cat.write(iri, tripleDf(3, "b"), overwrite = false)    // v2 = delta, refs v1
+    cat.write(iri, tripleDf(5, "c"))                       // v3 (overwrite)
+    cat.write(iri, tripleDf(2, "d"), overwrite = false)    // v4 = delta, refs v3
+    val expired = cat.expireSnapshots(iri, keepLast = 2)
+    assert(expired == Seq(1L, 2L))
+    // retained snapshots read intact (incl. the delta chain's shared v3)
+    assert(cat.snapshots(iri) == Seq(3L, 4L))
+    assert(cat.readAt(iri, 3L)._2.count() == 5L)
+    assert(cat.readAt(iri, 4L)._2.count() == 7L)
+    assert(cat.count(iri) == 7L)
+    // expired ids error instead of reading half-deleted data
+    intercept[IllegalArgumentException](cat.readAt(iri, 1L))
+    intercept[IllegalArgumentException](cat.readAt(iri, 2L))
+    // the unreferenced file sets (v1, v2) are physically gone; v3/v4 remain
+    val enc = java.net.URLEncoder.encode(iri, "UTF-8")
+    val dataDir = rootDir.resolve("data").resolve(enc)
+    assert(!java.nio.file.Files.exists(dataDir.resolve("v1")))
+    assert(!java.nio.file.Files.exists(dataDir.resolve("v2")))
+    assert(java.nio.file.Files.exists(dataDir.resolve("v3")))
+    assert(java.nio.file.Files.exists(dataDir.resolve("v4")))
+  }
+
+  test("expireSnapshots never deletes a file set a retained delta still references") {
+    val rootDir = Files.createTempDirectory("graftcat14")
+    val cat = new ParquetSnapshotCatalog(spark, rootDir.toString)
+    val iri = "urn:expire2"
+    cat.write(iri, tripleDf(4, "a"))                       // v1: base file set
+    cat.write(iri, tripleDf(3, "b"), overwrite = false)    // v2 refs v1+v2
+    cat.write(iri, tripleDf(2, "c"), overwrite = false)    // v3 refs v1+v2+v3
+    assert(cat.expireSnapshots(iri, keepLast = 1) == Seq(1L, 2L))
+    // snapshot 3 still reads the full union through the retained chain:
+    // v1 and v2 dirs MUST survive even though snapshots 1 and 2 are gone
+    assert(cat.count(iri) == 9L)
+    val enc = java.net.URLEncoder.encode(iri, "UTF-8")
+    val dataDir = rootDir.resolve("data").resolve(enc)
+    assert(java.nio.file.Files.exists(dataDir.resolve("v1")))
+    assert(java.nio.file.Files.exists(dataDir.resolve("v2")))
+  }
+
+  test("compact reclaims a crashed write's orphaned uncommitted data dir") {
+    val rootDir = Files.createTempDirectory("graftcat15")
+    val cat = new ParquetSnapshotCatalog(spark, rootDir.toString)
+    val iri = "urn:orphan"
+    cat.write(iri, tripleDf(4, "a"))
+    cat.write(iri, tripleDf(3, "b"))
+    // simulate a writer that died between its parquet write and its
+    // manifest rename: a v<id> dir no manifest names, below the latest id
+    val enc = java.net.URLEncoder.encode(iri, "UTF-8")
+    val dataDir = rootDir.resolve("data").resolve(enc)
+    // snapshot 1's dir is still referenced by manifest 1 — but if we expire
+    // nothing, v1 IS referenced; build a true orphan instead
+    tripleDf(9, "dead").write.parquet(dataDir.resolve("v0").toString)
+    assert(java.nio.file.Files.exists(dataDir.resolve("v0")))
+    cat.compact(iri)
+    assert(!java.nio.file.Files.exists(dataDir.resolve("v0"))) // reclaimed
+    // referenced dirs untouched; content unchanged
+    assert(java.nio.file.Files.exists(dataDir.resolve("v1")))
+    assert(cat.count(iri) == 3L)
+    assert(cat.readAt(iri, 1L)._2.count() == 4L)
+  }
+
+  test("append with a mismatched column set fails loudly, not silently dropping") {
+    val root = Files.createTempDirectory("graftcat16").toString
+    val cat = new ParquetSnapshotCatalog(spark, root)
+    cat.write("urn:cols", tripleDf(2, "a"))
+    import spark.implicits._
+    val extraCol = tripleDf(1, "b").withColumn("provenance",
+      org.apache.spark.sql.functions.lit("x"))
+    val e1 = intercept[IllegalArgumentException](
+      cat.write("urn:cols", extraCol, overwrite = false))
+    assert(e1.getMessage.contains("provenance"))
+    val missingCol = tripleDf(1, "c").drop("o_lang")
+    val e2 = intercept[IllegalArgumentException](
+      cat.write("urn:cols", missingCol, overwrite = false))
+    assert(e2.getMessage.contains("o_lang"))
+    assert(cat.count("urn:cols") == 2L) // nothing moved
+  }
+
   test("a legacy flat _snapshots layout is migrated, not silently emptied") {
     val rootDir = Files.createTempDirectory("graftcat11")
     val cat = new ParquetSnapshotCatalog(spark, rootDir.toString)

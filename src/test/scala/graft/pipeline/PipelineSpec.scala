@@ -245,6 +245,28 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("resume validates committed row counts: a corrupted stage fails loudly") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val work = Files.createTempDirectory("graftpipecorrupt").toString
+    Pipeline.run(spark, sfDir, work)
+    // corrupt a committed stage UNDER its intact _COMMIT.json: duplicate a
+    // parquet part file (a botched restore) — the dir still READS cleanly,
+    // only the row count betrays it, which is exactly what resume validates.
+    // (Deleting the only part file is caught too, but trivially — the read
+    // itself fails; the dangerous case is readable-but-wrong.)
+    val dataDir = Paths.get(work, "t1_mentions", "data")
+    val part = Files.list(dataDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .toSeq.maxBy(Files.size(_))
+    Files.copy(part, dataDir.resolve("part-99999-deadbeef.snappy.parquet"))
+    // the rerun must DETECT the mismatch instead of silently resuming with
+    // wrong data
+    val e = intercept[IllegalStateException](Pipeline.run(spark, sfDir, work))
+    assert(e.getMessage.contains("t1_mentions"))
+    assert(e.getMessage.contains("resume validation failed"))
+  }
+
   test("pipeline run is deterministic and resumable (file:// URI workDir)") {
     import java.nio.file.{Files, Paths}
     val localWork = Files.createTempDirectory("graftpipe").toString

@@ -85,6 +85,51 @@ class StreamingSpec extends AnyFunSuite {
     got.foreach { case (k, v) => assert(exp(k) == v, s"window $k") }
   }
 
+  test("incremental graph: delta snapshots per batch, checkpoint resume, == batch pipeline") {
+    import spark.implicits._
+    import graft.pipeline.Canonicalize
+    val inDir = Files.createTempDirectory("graftinc-in").toString
+    val catRoot = Files.createTempDirectory("graftinc-cat").toString
+    val ckpt = Files.createTempDirectory("graftinc-ckpt").toString
+    val iri = "urn:graft:incremental"
+    val allTurns = Transcripts.turns(spark, sfDir)
+    // the canonicalization dimension: the periodic batch rebuild's output
+    val canonical = Canonicalize.connectedComponents(spark,
+      Extraction.linkEdgesFused(spark, allTurns),
+      Extraction.mentions(spark, allTurns).toDF().select(col("entity_id")).distinct())
+    val convIds = allTurns.select("conv_id").distinct().as[String].collect().sorted
+    val (firstHalf, secondHalf) = convIds.splitAt(convIds.length / 2)
+    // growth step 1: the first half of the conversations arrives
+    allTurns.toDF().where(col("conv_id").isin(firstHalf.toIndexedSeq: _*))
+      .write.mode("append").parquet(inDir)
+    StreamingExtraction.incrementalGraph(spark, inDir, canonical, catRoot, iri, ckpt)
+    val cat = new graft.catalog.ParquetSnapshotCatalog(spark, catRoot)
+    assert(cat.snapshots(iri) == Seq(1L))
+    val afterFirst = cat.count(iri)
+    assert(afterFirst > 0)
+    // growth step 2: the rest arrives; ONLY the new files are processed and
+    // appended as a delta snapshot
+    allTurns.toDF().where(col("conv_id").isin(secondHalf.toIndexedSeq: _*))
+      .write.mode("append").parquet(inDir)
+    StreamingExtraction.incrementalGraph(spark, inDir, canonical, catRoot, iri, ckpt)
+    assert(cat.snapshots(iri) == Seq(1L, 2L))
+    assert(cat.count(iri) > afterFirst)
+    // restart with NO new data: the checkpoint reprocesses nothing — no new
+    // snapshot, content unchanged
+    StreamingExtraction.incrementalGraph(spark, inDir, canonical, catRoot, iri, ckpt)
+    assert(cat.snapshots(iri) == Seq(1L, 2L))
+    // the incrementally-built graph equals the batch pipeline's triple set
+    val streamedSet = cat.read(iri)._2
+      .select("s", "p", "o", "o_kind").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    val batchSet = Extraction.triples(
+      Extraction.mentions(spark, allTurns), canonical, allTurns.toDF())
+      .select("s", "p", "o", "o_kind").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(streamedSet == batchSet)
+    assert(streamedSet.nonEmpty)
+  }
+
   test("flatMapGroupsWithState tracks per-conversation running entity counts") {
     val dir = writeTranscripts()
     val updates = StreamingExtraction.conversationState(spark,

@@ -69,6 +69,17 @@ trait GraphCatalog {
 object GraphCatalog {
   private val WorkflowPrefix = "urn:x-evn-tag"
 
+  private val nonceCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Writer-unique staging-dir suffix WITHOUT randomness: pid + JVM start
+    * time + in-process counter — distinct across concurrent committers. */
+  private[catalog] def nextNonce(): String = {
+    val start = java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+    java.lang.Long.toHexString(ProcessHandle.current().pid()) + "x" +
+      java.lang.Long.toHexString(start & 0xffffffL) + "x" +
+      java.lang.Long.toHexString(nonceCounter.incrementAndGet())
+  }
+
   def isWorkflowUrn(graphIri: String): Boolean = graphIri.startsWith(WorkflowPrefix)
 
   /** `urn:x-evn-tag:dg:wf:user` -> `urn:x-evn-master:dg` (persistence_systems.py:844-855). */
@@ -218,12 +229,36 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
    * an occasional `overwrite = true` commit of `read(...)` is the
    * compaction, exactly as Iceberg `rewrite_data_files` is.
    */
+  /**
+   * Concurrent writers: the manifest rename is the single CAS point — the
+   * first `<id>.json` to land wins that id. Each attempt stages its data in
+   * a WRITER-UNIQUE dir (`v<id>-<nonce>`, the same discipline as Iceberg's
+   * UUID data-file names), so racing committers never co-write a path; the
+   * loser deletes its own unreferenced staging dir and retries against the
+   * freshly-committed snapshot (an append recomputes its delta there —
+   * anti-joining against a stale snapshot would re-admit the winner's
+   * rows). Bounded retries; on exhaustion the error names the graph.
+   */
   def write(graphIri: String, triples: DataFrame, overwrite: Boolean = true,
             leadingComments: Seq[String] = Nil): Long = {
     val resolved = GraphCatalog.resolveGraphIri(graphIri)
+    var attempt = 0
+    while (attempt < 5) {
+      writeAttempt(resolved, triples, overwrite, leadingComments) match {
+        case Some(id) => return id
+        case None => attempt += 1
+      }
+    }
+    throw new java.io.IOException(
+      s"snapshot commit for graph $resolved lost the manifest race 5 times — " +
+        "a concurrent writer is committing continuously; retry later")
+  }
+
+  private def writeAttempt(resolved: String, triples: DataFrame, overwrite: Boolean,
+                           leadingComments: Seq[String]): Option[Long] = {
     val prev = latestSnapshot(resolved)
     val id = prev.map(_._1).getOrElse(0L) + 1
-    val target = new HPath(graphDataDir(resolved), s"v$id")
+    val target = new HPath(graphDataDir(resolved), s"v$id-${GraphCatalog.nextNonce()}")
     val paths: Seq[String] =
       if (overwrite || prev.isEmpty) {
         triples.write.mode(SaveMode.Overwrite).parquet(target.toString)
@@ -254,13 +289,17 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
          | "leading_comments": ${jarr(leadingComments)}}""".stripMargin
     val dir = graphSnapDir(resolved)
     fs.mkdirs(dir)
-    val tmp = new HPath(dir, s".tmp-$id")
+    val tmp = new HPath(dir, s".tmp-${target.getName}")
     val os = fs.create(tmp, true)
     try os.write(manifest.getBytes(StandardCharsets.UTF_8)) finally os.close()
-    if (!fs.rename(tmp, new HPath(dir, f"$id%09d.json")))
-      throw new java.io.IOException(
-        s"snapshot commit rename failed for graph $resolved id $id (concurrent writer?)")
-    id
+    if (fs.rename(tmp, new HPath(dir, f"$id%09d.json"))) Some(id)
+    else {
+      // a concurrent writer committed this id first: nothing references our
+      // staging dir (unique name), so reclaim it and signal a retry
+      fs.delete(tmp, false)
+      fs.delete(target, true)
+      None
+    }
   }
 
   private def jstr(s: String): String =
@@ -297,7 +336,7 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
       .map(s => new HPath(s).getName).toSet
     val gdir = graphDataDir(resolved)
     if (!fs.exists(gdir)) return
-    val vdir = java.util.regex.Pattern.compile("v(\\d+)")
+    val vdir = java.util.regex.Pattern.compile("v(\\d+)(-.+)?")
     fs.listStatus(gdir).foreach { st =>
       val m = vdir.matcher(st.getPath.getName)
       if (st.isDirectory && m.matches() && m.group(1).toLong < latestId &&
@@ -324,7 +363,7 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
     val latestId = retained.last._1
     val gdir = graphDataDir(resolved)
     if (fs.exists(gdir)) {
-      val vdir = java.util.regex.Pattern.compile("v(\\d+)")
+      val vdir = java.util.regex.Pattern.compile("v(\\d+)(-.+)?")
       fs.listStatus(gdir).foreach { st =>
         val m = vdir.matcher(st.getPath.getName)
         if (st.isDirectory && m.matches() && m.group(1).toLong < latestId &&

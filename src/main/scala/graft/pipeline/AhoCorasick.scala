@@ -38,7 +38,7 @@ import scala.collection.mutable.ArrayBuffer
  */
 final class AhoCorasick(patterns: Array[String],
                         maxTransitionBytes: Long = AhoCorasick.DefaultMaxTransitionBytes)
-    extends Serializable {
+    extends MentionMatcher {
 
   final case class Match(patternIdx: Int, start: Int)
 
@@ -213,10 +213,46 @@ final class AhoCorasick(patterns: Array[String],
     matchStatsBytes(text.getBytes(java.nio.charset.StandardCharsets.UTF_8), counts, firstPos)
 }
 
+/**
+ * The matcher contract every extraction path programs against (batch
+ * `Extraction`, streaming, the codegen'd `MentionSlots`/`MentionPairs`
+ * expressions): zero-allocation per-pattern match statistics over a text.
+ * Implementations: one dense-DFA [[AhoCorasick]] (gazetteer fits the
+ * memory budget) or a [[ShardedAhoCorasick]] (it doesn't) — callers pick
+ * via [[AhoCorasick.auto]] and never branch on gazetteer size themselves.
+ */
+sealed trait MentionMatcher extends Serializable {
+  def numPatterns: Int
+  def matchStats(text: String, counts: Array[Int], firstPos: Array[Int]): Unit
+  def matchStatsBytes(bytes: Array[Byte], counts: Array[Int], firstPos: Array[Int]): Unit
+  def matchStatsUtf8(s: org.apache.spark.unsafe.types.UTF8String,
+                     counts: Array[Int], firstPos: Array[Int]): Unit
+}
+
 object AhoCorasick {
   /** 1 GiB of transition table ~= 2M ten-byte ASCII aliases — a comfortable
     * share of one production executor's heap; above this, shard. */
   val DefaultMaxTransitionBytes: Long = 1L << 30
+
+  private def worstCaseBytes(patterns: Array[String]): (Long, Int) = {
+    val alpha = if (patterns.forall(_.forall(_ < 128))) 128 else 256
+    val worstStates = 1L + patterns.iterator.map(p =>
+      p.iterator.map(c => if (c < 0x80) 1 else if (c < 0x800) 2 else 3).sum.toLong).sum
+    (worstStates * alpha * 4L, alpha)
+  }
+
+  /**
+   * The size-oblivious entry point the pipeline uses: ONE dense automaton
+   * while the gazetteer fits the budget (the fast path — every production
+   * call site keeps single-DFA speed), transparently sharded above it
+   * (bounded memory, K passes per text). Same results either way
+   * (GazetteerScaleSpec equivalence).
+   */
+  def auto(patterns: Array[String],
+           maxTransitionBytes: Long = DefaultMaxTransitionBytes): MentionMatcher =
+    if (worstCaseBytes(patterns)._1 <= maxTransitionBytes)
+      new AhoCorasick(patterns, maxTransitionBytes)
+    else sharded(patterns, maxTransitionBytes)
 
   private[pipeline] def requireBudget(worstStates: Long, alpha: Int,
                                       maxTransitionBytes: Long, nPatterns: Int): Unit = {
@@ -277,7 +313,7 @@ object AhoCorasick {
  */
 final class ShardedAhoCorasick private[pipeline](
     val shards: IndexedSeq[(AhoCorasick, Array[Int])],
-    val numPatterns: Int) extends Serializable {
+    val numPatterns: Int) extends MentionMatcher {
 
   def numShards: Int = shards.length
 

@@ -40,7 +40,7 @@ object Extraction {
     * whole partition. */
   def mentions(spark: SparkSession, turns: Dataset[Turn]): Dataset[Mention] = {
     import spark.implicits._
-    val ac = new AhoCorasick(Gazetteer.surfaces)
+    val ac = AhoCorasick.auto(Gazetteer.surfaces)
     val bc = spark.sparkContext.broadcast((ac, Gazetteer.surfaces, Gazetteer.entityIds))
     // project to the three consumed columns before the opaque pass (column
     // pruning through typed mapPartitions is the caller's job, not Catalyst's)
@@ -320,7 +320,7 @@ object Extraction {
   private def triplesFusedJoin(spark: SparkSession, turns: Dataset[Turn],
                                canonical: DataFrame, saltBuckets: Int): DataFrame = {
     import spark.implicits._
-    val ac = new AhoCorasick(Gazetteer.surfaces)
+    val ac = AhoCorasick.auto(Gazetteer.surfaces)
     val bc = spark.sparkContext.broadcast((ac, Gazetteer.entityIds))
     val raw = slim(turns).mapPartitions { it =>
       val (trie, entityIds) = bc.value

@@ -77,7 +77,7 @@ case class MentionSlots(child: Expression, canonKeys: Seq[Int], nCanon: Int)
 
 object MentionSlots {
   /** Gazetteer automaton: deterministic, built once per JVM on first use. */
-  @transient lazy val trie: AhoCorasick = new AhoCorasick(Gazetteer.surfaces)
+  @transient lazy val trie: MentionMatcher = AhoCorasick.auto(Gazetteer.surfaces)
 
   final class Scratch(nPatterns: Int, nCanon: Int) {
     val counts = new Array[Int](nPatterns)

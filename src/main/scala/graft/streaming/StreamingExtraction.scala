@@ -68,7 +68,7 @@ object StreamingExtraction {
    */
   def conversationState(spark: SparkSession, turns: Dataset[Turn]): Dataset[ConvUpdate] = {
     import spark.implicits._
-    val ac = new AhoCorasick(Gazetteer.surfaces)
+    val ac = AhoCorasick.auto(Gazetteer.surfaces)
     val bc = spark.sparkContext.broadcast((ac, Gazetteer.entityIds))
 
     def update(convId: String, rows: Iterator[Turn],

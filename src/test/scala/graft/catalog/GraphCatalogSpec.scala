@@ -19,6 +19,18 @@ class GraphCatalogSpec extends AnyFunSuite {
       .toDF()
   }
 
+  /** Snapshot id -> its staging data dir (names are `v<id>-<writer nonce>`
+    * since the optimistic-commit protocol; legacy `v<id>` also matches). */
+  private def vdir(rootDir: java.nio.file.Path, iri: String, id: Long): Option[java.nio.file.Path] = {
+    val d = rootDir.resolve("data").resolve(java.net.URLEncoder.encode(iri, "UTF-8"))
+    if (!java.nio.file.Files.isDirectory(d)) None
+    else {
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala.find(_.getFileName.toString.matches(s"v$id(-.+)?"))
+      finally s.close()
+    }
+  }
+
   test("write/read round trip with snapshot ids, count, ask, select (file:// URI root)") {
     // the catalog root is a Hadoop URI, not a local path — file:// here,
     // s3a://hdfs:// in production, one code path
@@ -58,8 +70,7 @@ class GraphCatalogSpec extends AnyFunSuite {
     val cat = new ParquetSnapshotCatalog(spark, rootDir.toString)
     val iri = "urn:delta"
     cat.write(iri, tripleDf(4, "x"))
-    val enc = java.net.URLEncoder.encode(iri, "UTF-8")
-    val v1 = rootDir.resolve("data").resolve(enc).resolve("v1")
+    val v1 = vdir(rootDir, iri, 1L).get
     def snapshotFiles(dir: java.nio.file.Path): Map[String, Seq[Byte]] = {
       val s = java.nio.file.Files.walk(dir)
       try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
@@ -77,7 +88,7 @@ class GraphCatalogSpec extends AnyFunSuite {
     // ...and the append REWROTE NOTHING: v1's files are byte-identical,
     // and the delta dir holds only the 2 genuinely-new rows
     assert(snapshotFiles(v1) == before)
-    val v2 = rootDir.resolve("data").resolve(enc).resolve(s"v$id2")
+    val v2 = vdir(rootDir, iri, id2).get
     assert(spark.read.parquet(v2.toString).count() == 2L)
     // time travel still sees the pre-append state
     assert(cat.readAt(iri, 1L)._2.count() == 4L)
@@ -138,12 +149,10 @@ class GraphCatalogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](cat.readAt(iri, 1L))
     intercept[IllegalArgumentException](cat.readAt(iri, 2L))
     // the unreferenced file sets (v1, v2) are physically gone; v3/v4 remain
-    val enc = java.net.URLEncoder.encode(iri, "UTF-8")
-    val dataDir = rootDir.resolve("data").resolve(enc)
-    assert(!java.nio.file.Files.exists(dataDir.resolve("v1")))
-    assert(!java.nio.file.Files.exists(dataDir.resolve("v2")))
-    assert(java.nio.file.Files.exists(dataDir.resolve("v3")))
-    assert(java.nio.file.Files.exists(dataDir.resolve("v4")))
+    assert(vdir(rootDir, iri, 1L).isEmpty)
+    assert(vdir(rootDir, iri, 2L).isEmpty)
+    assert(vdir(rootDir, iri, 3L).isDefined)
+    assert(vdir(rootDir, iri, 4L).isDefined)
   }
 
   test("expireSnapshots never deletes a file set a retained delta still references") {
@@ -157,10 +166,8 @@ class GraphCatalogSpec extends AnyFunSuite {
     // snapshot 3 still reads the full union through the retained chain:
     // v1 and v2 dirs MUST survive even though snapshots 1 and 2 are gone
     assert(cat.count(iri) == 9L)
-    val enc = java.net.URLEncoder.encode(iri, "UTF-8")
-    val dataDir = rootDir.resolve("data").resolve(enc)
-    assert(java.nio.file.Files.exists(dataDir.resolve("v1")))
-    assert(java.nio.file.Files.exists(dataDir.resolve("v2")))
+    assert(vdir(rootDir, iri, 1L).isDefined)
+    assert(vdir(rootDir, iri, 2L).isDefined)
   }
 
   test("compact reclaims a crashed write's orphaned uncommitted data dir") {
@@ -170,19 +177,38 @@ class GraphCatalogSpec extends AnyFunSuite {
     cat.write(iri, tripleDf(4, "a"))
     cat.write(iri, tripleDf(3, "b"))
     // simulate a writer that died between its parquet write and its
-    // manifest rename: a v<id> dir no manifest names, below the latest id
+    // manifest rename: a v<id> staging dir no manifest names, below the
+    // latest id (legacy suffixless shape — reclaim matches both)
     val enc = java.net.URLEncoder.encode(iri, "UTF-8")
     val dataDir = rootDir.resolve("data").resolve(enc)
-    // snapshot 1's dir is still referenced by manifest 1 — but if we expire
-    // nothing, v1 IS referenced; build a true orphan instead
     tripleDf(9, "dead").write.parquet(dataDir.resolve("v0").toString)
     assert(java.nio.file.Files.exists(dataDir.resolve("v0")))
     cat.compact(iri)
     assert(!java.nio.file.Files.exists(dataDir.resolve("v0"))) // reclaimed
     // referenced dirs untouched; content unchanged
-    assert(java.nio.file.Files.exists(dataDir.resolve("v1")))
+    assert(vdir(rootDir, iri, 1L).isDefined)
     assert(cat.count(iri) == 3L)
     assert(cat.readAt(iri, 1L)._2.count() == 4L)
+  }
+
+  test("concurrent appenders both commit: loser of the manifest CAS retries") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val root = Files.createTempDirectory("graftcat17").toString
+    val cat = new ParquetSnapshotCatalog(spark, root)
+    val iri = "urn:race"
+    cat.write(iri, tripleDf(2, "base"))
+    // two writers race the same graph: each stages in a writer-unique dir,
+    // the manifest rename is the CAS; the loser MUST retry with its delta
+    // recomputed against the winner's snapshot (a stale anti-join would
+    // re-admit the winner's rows)
+    val f1 = Future(cat.write(iri, tripleDf(3, "left"), overwrite = false))
+    val f2 = Future(cat.write(iri, tripleDf(4, "right"), overwrite = false))
+    val ids = Set(Await.result(f1, 120.seconds), Await.result(f2, 120.seconds))
+    assert(ids == Set(2L, 3L)) // both committed, distinct ids
+    assert(cat.snapshots(iri) == Seq(1L, 2L, 3L))
+    assert(cat.count(iri) == 9L) // 2 base + 3 + 4, nothing lost or doubled
   }
 
   test("append with a mismatched column set fails loudly, not silently dropping") {

@@ -117,6 +117,24 @@ class GazetteerScaleSpec extends AnyFunSuite {
     assert(ascii.findAll("café caf").count(_.patternIdx == 0) == 2)
   }
 
+  test("auto() picks the dense DFA under budget, shards above — pipeline entry point") {
+    // every production call site (Extraction, StreamingExtraction, the
+    // MentionSlots/MentionPairs singleton) goes through auto(): small
+    // gazetteers keep single-DFA speed, oversize ones transparently shard
+    val pats = aliases(5000)
+    val small = AhoCorasick.auto(pats)
+    assert(small.isInstanceOf[AhoCorasick])
+    val big = AhoCorasick.auto(pats, 1L << 19)
+    assert(big.isInstanceOf[ShardedAhoCorasick])
+    val text = s"x ${pats(17)} y ${pats(4999)}"
+    val c1 = new Array[Int](pats.length); val f1 = new Array[Int](pats.length)
+    val c2 = new Array[Int](pats.length); val f2 = new Array[Int](pats.length)
+    small.matchStats(text, c1, f1)
+    big.matchStats(text, c2, f2)
+    assert(java.util.Arrays.equals(c1, c2) && java.util.Arrays.equals(f1, f2))
+    assert(c1.sum >= 2)
+  }
+
   test("a single oversized pattern cannot hide inside sharding") {
     val big = "x" * 5000
     val e = intercept[IllegalArgumentException](

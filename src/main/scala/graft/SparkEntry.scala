@@ -340,6 +340,18 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
 
+    // ---- benchmark-contamination detection: doc 5-grams vs the eval-set
+    // n-gram set (deterministic stand-in eval set: doc_id % 97 == 0)
+    "q_contamination" -> ((s, dir) =>
+      NgramQuality.contamination(docs(s, dir),
+        docs(s, dir).where(col("doc_id") % 97 === 0))),
+
+    // ---- Gopher-style repetition scoring (duplicate bigram/trigram mass)
+    "q_repetition" -> ((s, dir) => NgramQuality.repetitionStats(docs(s, dir))),
+
+    // ---- corpus-trained bigram-LM mean NLL (the perplexity-filter shape)
+    "q_perplexity" -> ((s, dir) => NgramQuality.bigramLmScores(docs(s, dir))),
+
     // ---- multimodal metadata plumbing (payload synthesized from md5 bytes)
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.assetMetadata(Multimodal.synthesizeAssets(s, docs(s, dir)))),
@@ -974,6 +986,70 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+
+    "q_contamination" ->
+      """WITH toklists AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ng AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 5
+        |      THEN list_transform(generate_series(1, len(t) - 4),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
+        |      ELSE []::VARCHAR[] END AS l
+        |  FROM toklists),
+        |docng AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(l) AS g FROM ng),
+        |bench AS (SELECT DISTINCT g FROM docng WHERE doc_id % 97 = 0),
+        |hits AS (
+        |  SELECT d.doc_id, count(*) AS n_overlap
+        |  FROM docng d JOIN bench b ON d.g = b.g GROUP BY 1)
+        |SELECT t.doc_id,
+        |  len(list_distinct(t.l))::BIGINT AS n_ngrams,
+        |  coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+        |  coalesce(h.n_overlap, 0) >= 1 AS contaminated
+        |FROM ng t LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    "q_repetition" ->
+      """WITH toklists AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 2
+        |      THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+        |      ELSE []::VARCHAR[] END AS bi,
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_transform(generate_series(1, len(t) - 2),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |      ELSE []::VARCHAR[] END AS tri
+        |  FROM toklists)
+        |SELECT doc_id,
+        |  len(tri)::BIGINT AS n_trigrams,
+        |  (len(tri) - len(list_distinct(tri)))::BIGINT AS n_dup_trigrams,
+        |  CASE WHEN len(bi) > 0
+        |    THEN round((len(bi) - len(list_distinct(bi)))::DOUBLE / len(bi), 6)
+        |    ELSE 0.0 END AS dup_bigram_ratio,
+        |  CASE WHEN len(tri) > 0
+        |    THEN round((len(tri) - len(list_distinct(tri)))::DOUBLE / len(tri), 6)
+        |    ELSE 0.0 END AS dup_trigram_ratio
+        |FROM grams""".stripMargin,
+
+    "q_perplexity" ->
+      """WITH toklists AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |toks AS MATERIALIZED (SELECT doc_id, unnest(t) AS tok FROM toklists),
+        |uni AS MATERIALIZED (SELECT tok AS head, count(*) AS cu FROM toks GROUP BY 1),
+        |v AS (SELECT count(*) AS vocab FROM uni),
+        |big AS MATERIALIZED (
+        |  SELECT doc_id, i AS pos, t[i] AS head, t[i+1] AS next
+        |  FROM toklists, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+        |bc AS MATERIALIZED (SELECT head, next, count(*) AS cb FROM big GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT b.doc_id, b.pos,
+        |    -ln((bc.cb + 1)::DOUBLE / (uni.cu + v.vocab)::DOUBLE) AS nll
+        |  FROM big b JOIN bc USING (head, next) JOIN uni USING (head) CROSS JOIN v),
+        |agg AS (SELECT doc_id, list(nll ORDER BY pos) AS l FROM scored GROUP BY 1)
+        |SELECT doc_id,
+        |  len(l)::BIGINT AS n_transitions,
+        |  round(list_reduce(l, (x, y) -> x + y) / len(l), 6) AS mean_nll
+        |FROM agg""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * N-gram corpus-hygiene operators for training-data curation: benchmark
+ * contamination detection, repetition (duplicate-n-gram) scoring, and a
+ * corpus-trained bigram-LM perplexity score. All three are declarative
+ * (functions-only n-gram generation — `transform`/`sequence`/`slice` inside
+ * whole-stage codegen; no UDFs), with formulas shared verbatim with the
+ * DuckDB oracles.
+ *
+ * Scale notes (100 TB):
+ *  - n-gram generation is a narrow per-row projection; nothing shuffles
+ *    until the keyed joins/aggregates below.
+ *  - contamination joins document n-grams against the DISTINCT benchmark
+ *    n-gram set on the n-gram key — one keyed shuffle (AQE broadcasts the
+ *    benchmark side when it is small, which eval sets are); never all-pairs.
+ *  - repetition is a pure per-row projection (zero shuffle).
+ *  - perplexity trains on the corpus with two hash aggregates (unigram +
+ *    bigram counts) and scores with two keyed joins; the per-document
+ *    average folds an ORDERED list of bigram log-probs (deterministic
+ *    left-to-right sum — float addition is not commutative-associative, so
+ *    an unordered SUM would be nondeterministic across partitionings and
+ *    could never hash-match an oracle).
+ */
+object NgramQuality {
+
+  /** Position-ordered word n-grams of a single-space-tokenized text —
+    * the same `split(text, ' ')` convention as every other text op. */
+  private def ngramArray(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /**
+   * Benchmark-contamination detection: for every document, how many of its
+   * distinct word `n`-grams appear in the benchmark (eval-set) documents'
+   * n-gram set, and a contamination flag. The standard pre-training
+   * hygiene step that keeps test sets out of the training corpus.
+   *
+   * @param benchmark the eval-set documents (doc_id, text)
+   */
+  def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 5,
+                    minOverlap: Int = 1): DataFrame = {
+    val benchNg = benchmark
+      .select(explode(ngramArray(col("text"), n)).as("ng")).distinct()
+    val docNg = docs
+      .select(col("doc_id"), explode(array_distinct(ngramArray(col("text"), n))).as("ng"))
+    val hits = docNg.join(benchNg, Seq("ng")).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    docs.select(col("doc_id"),
+        size(array_distinct(ngramArray(col("text"), n))).cast("long").as("n_ngrams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
+  /**
+   * Repetition scoring (the Gopher-style duplicate-n-gram signals): per
+   * document, the fraction of word bigrams/trigrams that are repeats of an
+   * earlier occurrence. High values mark boilerplate/spam. Pure per-row
+   * projection — integer counts and one round-6 division, zero shuffle.
+   */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    def dupFrac(n: Int): Column = {
+      val ng = ngramArray(col("text"), n)
+      when(size(ng) > 0,
+        round((size(ng) - size(array_distinct(ng))).cast("double") / size(ng).cast("double"), 6))
+        .otherwise(lit(0.0))
+    }
+    val tri = ngramArray(col("text"), 3)
+    docs.select(col("doc_id"),
+      size(tri).cast("long").as("n_trigrams"),
+      (size(tri) - size(array_distinct(tri))).cast("long").as("n_dup_trigrams"),
+      dupFrac(2).as("dup_bigram_ratio"),
+      dupFrac(3).as("dup_trigram_ratio"))
+  }
+
+  /**
+   * Corpus-trained bigram-LM quality score: mean negative log-likelihood
+   * per transition under an add-1-smoothed bigram model trained on the
+   * corpus itself (the CCNet/KenLM perplexity-filter shape, with the
+   * corpus standing in for the reference LM). Low = fluent-for-this-corpus,
+   * high = outlier text.
+   *
+   * Determinism: p = (c(bigram)+1)/(c(head)+V) divides exact integer-valued
+   * doubles (IEEE division is exactly rounded — both engines produce the
+   * identical double); the per-document sum folds the POSITION-ORDERED
+   * log-prob list left-to-right (`aggregate` here, `list_reduce` in the
+   * oracle) so float addition order is pinned; result rounded to 6 dp.
+   */
+  def bigramLmScores(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val unigrams = toks.groupBy(col("tok").as("head")).agg(count(lit(1)).as("cu"))
+    // V rides the plan as a broadcast 1-row aggregate (no eager count job
+    // at plan-build; the whole score stays one lazy dataflow)
+    val vocabDf = unigrams.agg(count(lit(1)).as("vocab"))
+    // (head, next) straight from the bigram array — a NARROW projection;
+    // the naive toks-self-join on (doc_id, pos+1) would shuffle the whole
+    // tokenized corpus twice for something each row already knows
+    val bigrams = docs
+      .select(col("doc_id"), posexplode(ngramArray(col("text"), 2)).as(Seq("pos", "ng")))
+      .select(col("doc_id"), col("pos"),
+        substring_index(col("ng"), " ", 1).as("head"),
+        substring_index(col("ng"), " ", -1).as("next"))
+    val bigramCounts = bigrams.groupBy("head", "next").agg(count(lit(1)).as("cb"))
+    val scored = bigrams
+      .join(bigramCounts, Seq("head", "next"))
+      .join(unigrams, Seq("head"))
+      .crossJoin(broadcast(vocabDf))
+      .select(col("doc_id"), col("pos"),
+        (-log((col("cb") + 1).cast("double") / (col("cu") + col("vocab")).cast("double")))
+          .as("nll"))
+    scored.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("nll")))).as("parts"))
+      .select(col("doc_id"),
+        size(col("parts")).cast("long").as("n_transitions"),
+        round(aggregate(col("parts"), lit(0.0),
+          (acc, x) => acc + x.getField("nll")) / size(col("parts")), 6)
+          .as("mean_nll"))
+  }
+}

@@ -331,16 +331,24 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
   private def reclaimOrphans(resolved: String): Unit = {
     val manifests = snapshotManifests(resolved)
     if (manifests.isEmpty) return
-    val latestId = manifests.last._1
-    val referenced = manifests.flatMap { case (_, p) => manifestPaths(p) }
-      .map(s => new HPath(s).getName).toSet
+    deleteUnreferencedDirs(resolved,
+      belowId = manifests.last._1,
+      keep = manifests.flatMap { case (_, p) => manifestPaths(p) }
+        .map(s => new HPath(s).getName).toSet)
+  }
+
+  /** Delete `v<id>[-nonce]` dirs with id < `belowId` whose name is not in
+    * `keep` — shared by orphan reclamation and snapshot expiry. The id
+    * bound protects a LIVE writer (it always stages at id ≥ latest + 1). */
+  private def deleteUnreferencedDirs(resolved: String, belowId: Long,
+                                     keep: Set[String]): Unit = {
     val gdir = graphDataDir(resolved)
     if (!fs.exists(gdir)) return
     val vdir = java.util.regex.Pattern.compile("v(\\d+)(-.+)?")
     fs.listStatus(gdir).foreach { st =>
       val m = vdir.matcher(st.getPath.getName)
-      if (st.isDirectory && m.matches() && m.group(1).toLong < latestId &&
-          !referenced.contains(st.getPath.getName))
+      if (st.isDirectory && m.matches() && m.group(1).toLong < belowId &&
+          !keep.contains(st.getPath.getName))
         fs.delete(st.getPath, true)
     }
   }
@@ -360,17 +368,7 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
     // either a still-complete snapshot or "no such snapshot", never a
     // manifest whose files are gone
     expired.foreach { case (_, p) => fs.delete(p, false) }
-    val latestId = retained.last._1
-    val gdir = graphDataDir(resolved)
-    if (fs.exists(gdir)) {
-      val vdir = java.util.regex.Pattern.compile("v(\\d+)(-.+)?")
-      fs.listStatus(gdir).foreach { st =>
-        val m = vdir.matcher(st.getPath.getName)
-        if (st.isDirectory && m.matches() && m.group(1).toLong < latestId &&
-            !keepDirs.contains(st.getPath.getName))
-          fs.delete(st.getPath, true)
-      }
-    }
+    deleteUnreferencedDirs(resolved, belowId = retained.last._1, keep = keepDirs)
     expired.map(_._1)
   }
 

@@ -16,8 +16,10 @@ object Bench {
     // the artifact itself records load at start/end and total JVM GC, so a
     // degraded window is identifiable without a judge re-run
     def loadAvg(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").getLines().next().split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.getLines().next().split(" ")(0).toDouble finally src.close()
+      } catch { case _: Throwable => -1.0 }
     def totalGcMs(): Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala

@@ -356,6 +356,12 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.assetMetadata(Multimodal.synthesizeAssets(s, docs(s, dir)))),
 
+    // ---- REAL WAV/BMP container decode: values parsed from the payload
+    // bytes, oracle recomputes them arithmetically from doc_id
+    "q_media_decode" -> ((s, dir) =>
+      Multimodal.decodeContainers(
+        Multimodal.containerAssets(s, docs(s, dir))).toDF()),
+
     // ---- video frame sampling (1->N executor-side fan-out, stub decode)
     "q_multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.synthesizeAssets(s, docs(s, dir)), 3)
@@ -1057,6 +1063,22 @@ object SparkEntry {
         |  CAST(octet_length(unhex(md5(text))) AS BIGINT) AS n_bytes,
         |  doc_id % 64 + 1 AS width,
         |  doc_id % 48 + 1 AS height
+        |FROM documents""".stripMargin,
+
+    // the Spark side PARSES these values out of real WAV/BMP payload bytes;
+    // the oracle re-derives them arithmetically from the synthesis params —
+    // a container-writer or header-parser bug breaks the hash match
+    "q_media_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'bmp' END AS fmt,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 44 + (doc_id % 32 + 8) * 2
+        |        ELSE 54 + (doc_id % 12 + 1) * (((3 * (doc_id % 16 + 1) + 3) // 4) * 4)
+        |   END)::BIGINT AS payload_bytes,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 8000 + ((doc_id // 2) % 3) * 4000 ELSE 0 END)::BIGINT AS sample_rate,
+        |  (CASE WHEN doc_id % 2 = 0 THEN doc_id % 32 + 8 ELSE 0 END)::BIGINT AS n_samples,
+        |  (CASE WHEN doc_id % 2 = 1 THEN doc_id % 16 + 1 ELSE 0 END)::BIGINT AS width,
+        |  (CASE WHEN doc_id % 2 = 1 THEN doc_id % 12 + 1 ELSE 0 END)::BIGINT AS height,
+        |  (CASE WHEN doc_id % 2 = 1 THEN 24 ELSE 0 END)::BIGINT AS bpp
         |FROM documents""".stripMargin,
 
     "q_multimodal_frames" ->

@@ -134,4 +134,58 @@ object Multimodal {
       length(col("payload")).cast("long").as("n_bytes"),
       col("width").cast("long").as("width"),
       col("height").cast("long").as("height"))
+
+  /** A spec-valid media file as an opaque binary column. */
+  final case class ContainerAsset(doc_id: Long, fmt: String, payload: Array[Byte])
+
+  /** Byte-level-decoded container metadata (REAL parse, not a stub).
+    * Fields inapplicable to a format are 0, not NULL — oracle comparators
+    * sort whole rows and mixed NULL/numeric ordering is comparator-defined. */
+  final case class ContainerMeta(
+      doc_id: Long, fmt: String, payload_bytes: Long,
+      sample_rate: Long, n_samples: Long,
+      width: Long, height: Long, bpp: Long)
+
+  /**
+   * REAL container corpus: even doc_ids carry a spec-valid PCM WAV, odd a
+   * spec-valid 24-bpp BMP ([[MediaContainers]] — pure byte layout, zero
+   * codec libraries), with all parameters deterministic functions of
+   * doc_id so the decode below is oracle-checkable by arithmetic.
+   */
+  def containerAssets(spark: SparkSession, docs: DataFrame): Dataset[ContainerAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      if (id % 2 == 0)
+        ContainerAsset(id, "wav", MediaContainers.wavBytes(
+          (8000 + (id / 2 % 3) * 4000).toInt, (id % 32 + 8).toInt, id))
+      else
+        ContainerAsset(id, "bmp", MediaContainers.bmpBytes(
+          (id % 16 + 1).toInt, (id % 12 + 1).toInt, id))
+    }
+  }
+
+  /**
+   * The real decode step for WAV/BMP: per-partition batched byte-level
+   * header parsing ([[MediaContainers.parseWav]]/[[MediaContainers.parseBmp]]
+   * — magic-validated, chunk-walked). Same plumbing shape as
+   * [[extractFeatures]], but nothing here is stubbed: the values come out
+   * of the payload bytes, and the oracle recomputes them arithmetically
+   * from doc_id — a writer or parser bug breaks the hash match.
+   */
+  def decodeContainers(assets: Dataset[ContainerAsset]): Dataset[ContainerMeta] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        if (a.fmt == "wav") {
+          val w = MediaContainers.parseWav(a.payload)
+          ContainerMeta(a.doc_id, a.fmt, w.totalBytes.toLong,
+            w.sampleRate.toLong, w.nSamples.toLong, 0L, 0L, 0L)
+        } else {
+          val b = MediaContainers.parseBmp(a.payload)
+          ContainerMeta(a.doc_id, a.fmt, b.totalBytes.toLong,
+            0L, 0L, b.width.toLong, b.height.toLong, b.bitsPerPixel.toLong)
+        }
+      }
+    }
+  }
 }

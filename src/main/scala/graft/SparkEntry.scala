@@ -282,6 +282,10 @@ object SparkEntry {
     "q_simhash_dups" -> ((s, dir) => Dedup.simhashNearDups(docs(s, dir), 3)),
 
     // ---- embedding-cosine near-dup (label-blocked)
+    // ---- per-vector int8 quantization stats (the embedding-storage path)
+    "q_quantize_int8" -> ((s, dir) =>
+      Quantize.int8Stats(table(s, dir, "embeddings"))),
+
     "q_embed_dups" -> ((s, dir) =>
       Dedup.embeddingNearDups(table(s, dir, "embeddings"), 0.4)),
 
@@ -908,6 +912,27 @@ object SparkEntry {
          |SELECT doc_a, doc_b, CAST($hamming AS BIGINT) AS hamming
          |FROM cand WHERE $hamming <= 3""".stripMargin
     },
+
+    "q_quantize_int8" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM base),
+        |c AS (
+        |  SELECT vec_id, v, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0::BIGINT)
+        |         ELSE list_transform(v, x -> round(x / scale * 127)::BIGINT) END AS codes
+        |  FROM s)
+        |SELECT vec_id,
+        |  len(v)::BIGINT AS n_dims,
+        |  round(scale, 6) AS scale,
+        |  list_reduce(list_transform(generate_series(1, len(codes)), i -> codes[i] * i),
+        |              (a, b) -> a + b)::BIGINT AS code_checksum,
+        |  CASE WHEN scale = 0 THEN 0.0
+        |       ELSE round(list_max(list_transform(generate_series(1, len(v)),
+        |              i -> abs(v[i] - codes[i]::DOUBLE * scale / 127.0))), 6)
+        |  END AS max_abs_err
+        |FROM c""".stripMargin,
 
     "q_embed_dups" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

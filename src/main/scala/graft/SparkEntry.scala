@@ -286,6 +286,10 @@ object SparkEntry {
     "q_quantize_int8" -> ((s, dir) =>
       Quantize.int8Stats(table(s, dir, "embeddings"))),
 
+    // ---- event sessionization (30-min inactivity gap, one keyed shuffle)
+    "q_sessionize" -> ((s, dir) =>
+      Sessionize.sessions(table(s, dir, "events"))),
+
     "q_embed_dups" -> ((s, dir) =>
       Dedup.embeddingNearDups(table(s, dir, "embeddings"), 0.4)),
 
@@ -912,6 +916,26 @@ object SparkEntry {
          |SELECT doc_a, doc_b, CAST($hamming AS BIGINT) AS hamming
          |FROM cand WHERE $hamming <= 3""".stripMargin
     },
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id, value FROM events),
+        |flagged AS (
+        |  SELECT user_id, tus, event_id, value,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |              OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |sess AS (
+        |  SELECT user_id, tus, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx::BIGINT AS session_idx,
+        |  count(*)::BIGINT AS n_events,
+        |  min(tus)::BIGINT AS session_start_us,
+        |  (max(tus) - min(tus))::BIGINT AS duration_us,
+        |  max(value) AS max_value
+        |FROM sess GROUP BY user_id, session_idx""".stripMargin,
 
     "q_quantize_int8" ->
       """WITH base AS (

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event sessionization — the canonical keyed-sequence operator of a
+ * large-scale behavioural pipeline: split each user's event stream into
+ * sessions at inactivity gaps, then aggregate per session.
+ *
+ * Shape at 100 TB: ONE shuffle on `user_id` + an in-partition sort (the
+ * lag/cumsum window pair), then a partial-aggregated groupBy on
+ * (user_id, session_idx) that lands in the SAME partitioning — Catalyst
+ * reuses the exchange, so the whole operator is one shuffle end-to-end.
+ * Hot users (bots) are the skew risk; the per-user sequence must stay on
+ * one partition by definition, so the mitigation is AQE skew handling
+ * plus upstream bot filtering, not salting.
+ *
+ * Determinism: all time math is INTEGER microseconds (`unix_micros` here,
+ * `epoch_us` in the DuckDB oracle — second-granularity `unix_timestamp`
+ * would alias sub-second gaps), ordering ties break on `event_id`, and
+ * the only float output is an order-free `max`.
+ */
+object Sessionize {
+
+  /** Per-session aggregates with a `gap`-microsecond inactivity cutoff
+    * (default 30 min). `session_idx` is 1-based per user in time order. */
+  def sessions(events: DataFrame, gapUs: Long = 30L * 60 * 1000000): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      // ts is TIMESTAMP_NTZ in the parquet; the UTC-session cast makes
+      // unix_micros read the same wall-clock micros DuckDB's epoch_us does
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"),
+        col("event_id"), col("value"))
+      .withColumn("new_s",
+        when(lag(col("tus"), 1).over(order).isNull ||
+          col("tus") - lag(col("tus"), 1).over(order) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_s")).over(running))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("tus")).as("session_start_us"),
+        (max(col("tus")) - min(col("tus"))).as("duration_us"),
+        max(col("value")).as("max_value"))
+  }
+}

@@ -154,9 +154,20 @@ object StreamingExtraction {
    * idempotent on content (the duplicate delta collapses to empty), so the
    * graph converges to the same triple set either way.
    */
+  /**
+   * @param compactEvery when > 0, table maintenance runs INSIDE the job:
+   *        once the graph accumulates more than `compactEvery` snapshots,
+   *        the delta chain is compacted to one file set and history is
+   *        expired to the latest `keepSnapshots` — without this, a
+   *        long-running incremental deployment accumulates one file set
+   *        and one manifest per micro-batch forever (the Iceberg
+   *        `rewrite_data_files` + `expire_snapshots` maintenance pairing,
+   *        here as part of the ingest cadence itself)
+   */
   def incrementalGraph(spark: SparkSession, inputDir: String,
                        canonical: DataFrame, catalogRoot: String,
-                       graphIri: String, checkpointDir: String): Unit = {
+                       graphIri: String, checkpointDir: String,
+                       compactEvery: Int = 0, keepSnapshots: Int = 3): Unit = {
     import spark.implicits._
     val catalog = new graft.catalog.ParquetSnapshotCatalog(spark, catalogRoot)
     val q = turnStream(spark, inputDir).writeStream
@@ -176,6 +187,10 @@ object StreamingExtraction {
           // overwrite=false: first batch seeds v1, every later batch is a
           // delta commit (only genuinely-new triples are written)
           catalog.write(graphIri, asRows, overwrite = false)
+          if (compactEvery > 0 && catalog.snapshots(graphIri).size > compactEvery) {
+            catalog.compact(graphIri)
+            catalog.expireSnapshots(graphIri, keepSnapshots)
+          }
         }
         ()
       }

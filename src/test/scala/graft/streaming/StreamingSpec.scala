@@ -130,6 +130,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedSet.nonEmpty)
   }
 
+  test("incremental graph with in-job maintenance keeps snapshot history bounded") {
+    import spark.implicits._
+    import graft.pipeline.Canonicalize
+    val inDir = Files.createTempDirectory("graftincm-in").toString
+    val catRoot = Files.createTempDirectory("graftincm-cat").toString
+    val ckpt = Files.createTempDirectory("graftincm-ckpt").toString
+    val iri = "urn:graft:incremental-maint"
+    val allTurns = Transcripts.turns(spark, sfDir)
+    val canonical = Canonicalize.connectedComponents(spark,
+      Extraction.linkEdgesFused(spark, allTurns),
+      Extraction.mentions(spark, allTurns).toDF().select(col("entity_id")).distinct())
+    val convIds = allTurns.select("conv_id").distinct().as[String].collect().sorted
+    val (firstHalf, secondHalf) = convIds.splitAt(convIds.length / 2)
+    def grow(ids: Array[String]): Unit = {
+      allTurns.toDF().where(col("conv_id").isin(ids.toIndexedSeq: _*))
+        .write.mode("append").parquet(inDir)
+      StreamingExtraction.incrementalGraph(spark, inDir, canonical, catRoot, iri, ckpt,
+        compactEvery = 1, keepSnapshots = 1)
+    }
+    grow(firstHalf)
+    val cat = new graft.catalog.ParquetSnapshotCatalog(spark, catRoot)
+    grow(secondHalf)
+    // the second batch appended a delta, then maintenance compacted the
+    // chain and expired history: exactly ONE retained snapshot, content
+    // identical to the unmaintained incremental run
+    assert(cat.snapshots(iri).size == 1)
+    val got = cat.read(iri)._2
+      .select("s", "p", "o", "o_kind").distinct().count()
+    val expected = Extraction.triples(
+      Extraction.mentions(spark, allTurns), canonical, allTurns.toDF())
+      .select("s", "p", "o", "o_kind").distinct().count()
+    assert(got == expected && got > 0)
+  }
+
   test("flatMapGroupsWithState tracks per-conversation running entity counts") {
     val dir = writeTranscripts()
     val updates = StreamingExtraction.conversationState(spark,

@@ -290,6 +290,10 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       Sessionize.sessions(table(s, dir, "events"))),
 
+    // ---- funnel conversion (signup -> purchase within 24h attribution)
+    "q_funnel" -> ((s, dir) =>
+      Sessionize.funnel(table(s, dir, "events"))),
+
     "q_embed_dups" -> ((s, dir) =>
       Dedup.embeddingNearDups(table(s, dir, "embeddings"), 0.4)),
 
@@ -916,6 +920,24 @@ object SparkEntry {
          |SELECT doc_a, doc_b, CAST($hamming AS BIGINT) AS hamming
          |FROM cand WHERE $hamming <= 3""".stripMargin
     },
+
+    "q_funnel" ->
+      """WITH f1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_step1_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (
+        |  SELECT e.user_id, count(*) AS n_step2_in_window
+        |  FROM events e JOIN f1 USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) > f1.first_step1_us
+        |    AND epoch_us(e.ts) <= f1.first_step1_us + 86400000000
+        |  GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  coalesce(f1.first_step1_us, 0)::BIGINT AS first_step1_us,
+        |  coalesce(conv.n_step2_in_window, 0)::BIGINT AS n_step2_in_window,
+        |  coalesce(conv.n_step2_in_window, 0) > 0 AS converted
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN f1 USING (user_id) LEFT JOIN conv USING (user_id)""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (

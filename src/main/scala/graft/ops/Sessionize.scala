@@ -24,6 +24,35 @@ import org.apache.spark.sql.functions._
  */
 object Sessionize {
 
+  /**
+   * Funnel conversion — step-1 → step-2 within an attribution window: per
+   * user, the first `step1` event and the count of `step2` events landing
+   * in `(t_step1, t_step1 + window]`. Three keyed aggregates + two
+   * broadcast-or-keyed joins on user_id; every output is integer/boolean
+   * (microsecond time math), so the oracle is exact by construction.
+   * Users who never reach step 1 appear with sentinel 0 (not NULL — whole
+   * rows are sort-compared by oracle harnesses).
+   */
+  def funnel(events: DataFrame, step1: String = "signup", step2: String = "purchase",
+             windowUs: Long = 24L * 3600 * 1000000): DataFrame = {
+    val tus = unix_micros(col("ts").cast("timestamp"))
+    val first1 = events.where(col("event_type") === step1)
+      .groupBy("user_id").agg(min(tus).as("first_step1_us"))
+    val conv = events.where(col("event_type") === step2)
+      .select(col("user_id"), tus.as("p_us"))
+      .join(first1, Seq("user_id"))
+      .where(col("p_us") > col("first_step1_us") &&
+        col("p_us") <= col("first_step1_us") + windowUs)
+      .groupBy("user_id").agg(count(lit(1)).as("n_step2_in_window"))
+    events.select("user_id").distinct()
+      .join(first1, Seq("user_id"), "left")
+      .join(conv, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("first_step1_us"), lit(0L)).as("first_step1_us"),
+        coalesce(col("n_step2_in_window"), lit(0L)).as("n_step2_in_window"),
+        (coalesce(col("n_step2_in_window"), lit(0L)) > 0).as("converted"))
+  }
+
   /** Per-session aggregates with a `gap`-microsecond inactivity cutoff
     * (default 30 min). `session_idx` is 1-based per user in time order. */
   def sessions(events: DataFrame, gapUs: Long = 30L * 60 * 1000000): DataFrame = {

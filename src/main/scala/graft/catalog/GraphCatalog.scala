@@ -71,11 +71,26 @@ object GraphCatalog {
 
   private val nonceCounter = new java.util.concurrent.atomic.AtomicLong()
 
-  /** Writer-unique staging-dir suffix WITHOUT randomness: pid + JVM start
-    * time + in-process counter — distinct across concurrent committers. */
+  /** Deterministic host-unique component: hostname hash. Pids repeat across
+    * hosts and JVM start times collide mod the 24-bit mask (~4.6 h), so two
+    * driver JVMs on DIFFERENT machines sharing a catalog could otherwise
+    * co-write the same `v<id>-<nonce>` staging dir — defeating the
+    * writer-unique-dir guarantee the commit protocol relies on. */
+  private lazy val hostTag: String = {
+    val name =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: java.net.UnknownHostException => "localhost" }
+    java.lang.Integer.toHexString(
+      java.util.Arrays.hashCode(name.getBytes(StandardCharsets.UTF_8)))
+  }
+
+  /** Writer-unique staging-dir suffix WITHOUT randomness: hostname hash +
+    * pid + JVM start time + in-process counter — distinct across concurrent
+    * committers on the same host AND across hosts. */
   private[catalog] def nextNonce(): String = {
     val start = java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
-    java.lang.Long.toHexString(ProcessHandle.current().pid()) + "x" +
+    hostTag + "x" +
+      java.lang.Long.toHexString(ProcessHandle.current().pid()) + "x" +
       java.lang.Long.toHexString(start & 0xffffffL) + "x" +
       java.lang.Long.toHexString(nonceCounter.incrementAndGet())
   }
@@ -131,9 +146,45 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
   private val dataDir = new HPath(rootPath, "data")
   private val snapDir = new HPath(rootPath, "_snapshots")
   private def fs: FileSystem = rootPath.getFileSystem(conf)
+  checkAtomicRename()
   fs.mkdirs(dataDir)
   fs.mkdirs(snapDir)
   migrateLegacyFlatManifests()
+
+  /**
+   * The commit protocol's single CAS point is `fs.rename(tmp, <id>.json)`
+   * failing when the destination exists. That contract holds on HDFS and
+   * local filesystems but NOT on object stores: S3A `rename` is a
+   * non-atomic exists-check-then-copy, so two racing committers can both
+   * believe they won, one manifest silently replaces the other, and the
+   * loser's data dir is later reclaimed by `reclaimOrphans`/
+   * `expireSnapshots` — a DURABLE lost commit, not just a race. This is
+   * exactly why Iceberg refuses rename-based commits on S3 and requires a
+   * lock-manager or conditional-put catalog there. We therefore REJECT
+   * object-store roots at construction unless the caller explicitly opts
+   * in (single-writer deployments are safe: with no concurrent committer
+   * the rename still publishes complete-or-absent manifests) via
+   * `spark.conf.set("graft.catalog.allowNonAtomicRename", "true")`.
+   */
+  private def checkAtomicRename(): Unit = {
+    val nonAtomicRenameSchemes =
+      Set("s3", "s3a", "s3n", "gs", "oss", "wasb", "wasbs", "abfs", "abfss", "cosn", "swift")
+    // scheme from the URI, not from an instantiated FileSystem: the gate
+    // must fire before any object-store IO (or classloading) happens
+    val scheme = Option(rootPath.toUri.getScheme)
+      .orElse(Option(FileSystem.getDefaultUri(conf).getScheme))
+      .getOrElse("file").toLowerCase
+    if (nonAtomicRenameSchemes.contains(scheme) &&
+        !spark.conf.get("graft.catalog.allowNonAtomicRename", "false").toBoolean)
+      throw new IllegalArgumentException(
+        s"catalog root $root uses scheme '$scheme', whose rename is not an atomic " +
+          "no-overwrite operation — concurrent snapshot commits there can silently " +
+          "lose a committed snapshot (the reason Iceberg refuses rename-based commits " +
+          "on S3). Root the (tiny) catalog on a filesystem with atomic rename " +
+          "(hdfs://, file://), swap in an Iceberg catalog, or — for SINGLE-writer " +
+          "deployments only — opt in with " +
+          "spark.conf.set(\"graft.catalog.allowNonAtomicRename\", \"true\")")
+  }
 
   /**
    * Layout migration: older catalogs committed manifests FLAT under
@@ -254,8 +305,33 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
         "a concurrent writer is committing continuously; retry later")
   }
 
+  /** True iff the failure chain contains a missing-file/dir error — the
+    * signature of a concurrent `compact()`/`expireSnapshots()` reclaim pass
+    * deleting a LAGGING appender's live staging dir (two commits landed
+    * after it read `latestSnapshot`, so its target id dropped below the new
+    * latest and the reclaim's id bound no longer protected it). The
+    * committed state is safe either way (the stale manifest rename would
+    * lose the CAS), so this is a retryable race, not corruption. */
+  private[catalog] def causedByMissingPath(t: Throwable): Boolean = {
+    var cur: Throwable = t
+    var depth = 0
+    while (cur != null && depth < 16) {
+      if (cur.isInstanceOf[java.io.FileNotFoundException]) return true
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
+
   private def writeAttempt(resolved: String, triples: DataFrame, overwrite: Boolean,
-                           leadingComments: Seq[String]): Option[Long] = {
+                           leadingComments: Seq[String]): Option[Long] =
+    try writeAttemptStaged(resolved, triples, overwrite, leadingComments)
+    catch {
+      case e: Exception if causedByMissingPath(e) => None // lost reclaim race → re-stage
+    }
+
+  private def writeAttemptStaged(resolved: String, triples: DataFrame, overwrite: Boolean,
+                                 leadingComments: Seq[String]): Option[Long] = {
     val prev = latestSnapshot(resolved)
     val id = prev.map(_._1).getOrElse(0L) + 1
     val target = new HPath(graphDataDir(resolved), s"v$id-${GraphCatalog.nextNonce()}")

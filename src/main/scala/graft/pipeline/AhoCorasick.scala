@@ -318,7 +318,9 @@ final class ShardedAhoCorasick private[pipeline](
   def numShards: Int = shards.length
 
   @transient private lazy val scratch: ThreadLocal[(Array[Int], Array[Int])] = {
-    val maxShard = shards.map(_._1.numPatterns).max
+    // maxOption: sharded(Array.empty) constructs a zero-shard matcher, which
+    // must behave as a no-op rather than throw from an empty .max here
+    val maxShard = shards.map(_._1.numPatterns).maxOption.getOrElse(0)
     ThreadLocal.withInitial(() => (new Array[Int](maxShard), new Array[Int](maxShard)))
   }
 

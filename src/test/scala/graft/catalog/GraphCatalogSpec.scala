@@ -337,4 +337,54 @@ class GraphCatalogSpec extends AnyFunSuite {
     assert(cat.read("urn:tt")._2.count() == 2) // latest == id2
     intercept[IllegalArgumentException](cat.readAt("urn:tt", 99L))
   }
+
+  test("object-store catalog roots are rejected: rename there is not an atomic CAS") {
+    // S3A rename = exists-check-then-copy, so two racing committers can both
+    // win and one committed snapshot is silently lost — the reason Iceberg
+    // refuses rename-based commits on S3. The gate must fire BEFORE any
+    // object-store IO (no s3a jars needed to get the error).
+    val e = intercept[IllegalArgumentException](
+      new ParquetSnapshotCatalog(spark, "s3a://some-bucket/catalog"))
+    assert(e.getMessage.contains("atomic"))
+    assert(e.getMessage.contains("s3a"))
+    // explicit single-writer opt-in opens the gate: construction proceeds
+    // past our check (and fails later, deeper in Hadoop, for lack of s3a
+    // jars in this sandbox — any non-IllegalArgumentException proves the
+    // gate itself opened)
+    spark.conf.set("graft.catalog.allowNonAtomicRename", "true")
+    try {
+      val e2 = intercept[Exception](
+        new ParquetSnapshotCatalog(spark, "s3a://some-bucket/catalog"))
+      assert(!e2.isInstanceOf[IllegalArgumentException])
+    } finally spark.conf.unset("graft.catalog.allowNonAtomicRename")
+  }
+
+  test("nonce is host-unique: hostname tag + pid + start time + counter, no RNG") {
+    val n1 = GraphCatalog.nextNonce()
+    val n2 = GraphCatalog.nextNonce()
+    assert(n1 != n2) // counter advances
+    // 4 components: hostTag x pid x startTime x counter — the host tag is
+    // what makes two driver JVMs on DIFFERENT machines collision-free
+    // (pids repeat across hosts; masked start times collide mod ~4.6 h)
+    assert(n1.split("x").length == 4)
+    assert(n1.split("x").head == n2.split("x").head) // same host, same tag
+  }
+
+  test("a staging-write failure from a missing dir is a retryable race, not a crash") {
+    // a lagging appender whose live v<id>-<nonce> staging dir a concurrent
+    // compact/expire pass reclaimed sees FileNotFoundException nested in the
+    // Spark job failure; writeAttempt must map that to a clean retry
+    val cat = new ParquetSnapshotCatalog(
+      spark, Files.createTempDirectory("graftcat19").toString)
+    val fnf = new java.io.FileNotFoundException("v3-abc/part-0.parquet")
+    val wrapped = new RuntimeException("job aborted",
+      new java.io.IOException("task failed", fnf))
+    assert(cat.causedByMissingPath(wrapped))
+    assert(cat.causedByMissingPath(fnf))
+    assert(!cat.causedByMissingPath(new RuntimeException("unrelated")))
+    // a cause CYCLE must not hang the walk
+    val a = new RuntimeException("a"); val b = new RuntimeException("b", a)
+    a.initCause(b)
+    assert(!cat.causedByMissingPath(a))
+  }
 }

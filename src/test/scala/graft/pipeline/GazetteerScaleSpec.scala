@@ -141,4 +141,16 @@ class GazetteerScaleSpec extends AnyFunSuite {
       AhoCorasick.sharded(Array("ok", big), maxTransitionBytes = 1L << 20))
     assert(e.getMessage.contains("exceeds"))
   }
+
+  test("an empty pattern set shards to a no-op matcher, not a crash") {
+    // sharded(Array.empty) builds a zero-shard matcher; matchStats on it
+    // must be a clean no-op (the scratch sizing previously threw an
+    // unrelated UnsupportedOperationException from an empty .max)
+    val empty = AhoCorasick.sharded(Array.empty[String])
+    assert(empty.numShards == 0 && empty.numPatterns == 0)
+    empty.matchStats("any text at all", Array.empty, Array.empty)
+    empty.matchStatsUtf8(
+      org.apache.spark.unsafe.types.UTF8String.fromString("more text"),
+      Array.empty, Array.empty)
+  }
 }

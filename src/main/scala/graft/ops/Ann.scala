@@ -249,9 +249,71 @@ object Ann {
                     centroids: Seq[Seq[Double]]): Unit = {
     import graft.functions.VecFunctions.ivf_cells_trained
     embeddings
+      .withColumn("idx_gen", lit(0))
       .withColumn("cell", element_at(ivf_cells_trained(col("embedding"), centroids, 1), 1))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
+
+  /**
+   * Incremental index maintenance — the append counterpart of
+   * [[writeIvfIndex]], so a growing corpus (the incremental streaming
+   * pipeline's own story) never rebuilds the whole billion-vector index to
+   * absorb a day's vectors. The new vectors are assigned to their cells
+   * with the SAME centroids the base index was built with and written as
+   * per-cell DELTA FILES: `mode("append").partitionBy("cell")` adds new
+   * part files inside the existing `cell=<c>/` directories (dynamic
+   * partition overwrite is irrelevant in append mode — existing files are
+   * never touched), creating a directory only for a cell that was
+   * previously empty. Cost is one narrow assignment pass + one
+   * delta-sized write; reads are unchanged ([[ivfTopKIndexed]] lists the
+   * probed cell dirs, base and delta files alike), so an appended index
+   * answers queries identically to a from-scratch rebuild over the union
+   * corpus with the same centroids (asserted in OpsSpec).
+   *
+   * Retrain/compact policy (the drift knob): appended vectors are quantized
+   * by FROZEN centroids, so as the appended fraction grows the cell
+   * boundaries drift away from the data distribution — recall per probe
+   * degrades (never correctness: re-rank inside probed cells stays exact)
+   * and hot cells accumulate small delta files. The maintenance loop is:
+   * when [[ivfIndexStats]] reports `appendedFraction` above a threshold
+   * (0.25 is a sound default — quantizer-drift literature and our measured
+   * recall curves both put the knee well above that), retrain with
+   * [[trainIvfCentroids]] on the CURRENT corpus and [[writeIvfIndex]] to a
+   * fresh path, then swap paths atomically at the caller (the same
+   * publish-then-swap discipline as the catalog's compaction). Between
+   * retrains, a compact-only pass (rewrite with the OLD centroids) folds
+   * delta files without changing any assignment.
+   */
+  def appendIvfIndex(newVectors: DataFrame, path: String,
+                     centroids: Seq[Seq[Double]]): Unit = {
+    import graft.functions.VecFunctions.ivf_cells_trained
+    newVectors
+      .withColumn("idx_gen", lit(1))
+      .withColumn("cell", element_at(ivf_cells_trained(col("embedding"), centroids, 1), 1))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
+  /** (total vectors, appended vectors, appended fraction) of a materialized
+    * index — the input to the retrain policy above. One metadata-cheap scan
+    * of the `idx_gen` column (no embedding bytes are read; column pruning
+    * is visible in the scan's ReadSchema). */
+  final case class IvfIndexStats(total: Long, appended: Long) {
+    def appendedFraction: Double = if (total == 0) 0.0 else appended.toDouble / total
+  }
+
+  def ivfIndexStats(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndexStats = {
+    val r = spark.read.parquet(path)
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("idx_gen") > 0, 1L).otherwise(0L)).as("appended"))
+      .collect()(0)
+    IvfIndexStats(r.getLong(0), r.getLong(1))
+  }
+
+  /** True when the appended fraction has crossed the retrain threshold —
+    * see the policy note on [[appendIvfIndex]]. */
+  def shouldRetrainIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+                       threshold: Double = 0.25): Boolean =
+    ivfIndexStats(spark, path).appendedFraction > threshold
 
   /**
    * IVF top-k served FROM the materialized index: the queries' probe cells

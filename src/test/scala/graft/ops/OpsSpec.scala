@@ -240,6 +240,44 @@ class OpsSpec extends AnyFunSuite {
       s"test premise: 5 queries at nProbe=4 must not probe every cell ($probedCells)")
   }
 
+  test("incremental IVF index: appended deltas answer identically to a from-scratch rebuild") {
+    // base index on corpus A; two appended batches B1, B2 (per-cell delta
+    // files with the SAME frozen centroids); queries over the appended
+    // index must equal the same queries over a from-scratch A∪B1∪B2 index
+    val corpusA = embeddings.where(col("vec_id") % 3 =!= 0)
+    val corpusB1 = embeddings.where(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0)
+    val corpusB2 = embeddings.where(col("vec_id") % 3 === 0 && col("vec_id") % 2 =!= 0)
+    val cents = Ann.trainIvfCentroids(corpusA).map(_.toSeq).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graftivfinc")
+    val inc = tmp.toString + "/inc"
+    val full = tmp.toString + "/full"
+    Ann.writeIvfIndex(corpusA, inc, cents)
+    val baseStats = Ann.ivfIndexStats(spark, inc)
+    assert(baseStats.appended == 0L && !Ann.shouldRetrainIvf(spark, inc))
+    Ann.appendIvfIndex(corpusB1, inc, cents)
+    Ann.appendIvfIndex(corpusB2, inc, cents)
+    Ann.writeIvfIndex(embeddings, full, cents)
+    val queryIds = Seq(0L, 1L, 2L, 3L, 4L)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val resInc = Ann.ivfTopKIndexed(spark, inc, embeddings, queryIds, 10, cents)
+    assert(asSet(resInc) == asSet(
+      Ann.ivfTopKIndexed(spark, full, embeddings, queryIds, 10, cents)))
+    // probe scan over the appended index is still partition-pruned
+    val planStr = resInc.queryExecution.executedPlan.toString()
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*IN".r.findFirstIn(planStr).isDefined,
+      s"no cell IN (...) PartitionFilters on the appended index scan:\n$planStr")
+    // the retrain policy sees the appended fraction (B = 1/3 of the corpus,
+    // above the 0.25 default threshold)
+    val stats = Ann.ivfIndexStats(spark, inc)
+    assert(stats.total == baseStats.total + corpusB1.count() + corpusB2.count())
+    assert(stats.appendedFraction > 0.25 && Ann.shouldRetrainIvf(spark, inc))
+    // appends landed as DELTA FILES inside existing cell dirs, not a rewrite
+    val cellDirs = new java.io.File(inc).listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.exists(d => d.listFiles().count(_.getName.endsWith(".parquet")) >= 3),
+      "expected base + two delta part files in at least one cell dir")
+  }
+
   test("IVF training is deterministic (same centroids on re-run)") {
     val c1 = Ann.trainIvfCentroids(embeddings)
     val c2 = Ann.trainIvfCentroids(embeddings)

@@ -217,19 +217,54 @@ object ScalingBench {
     // warmup: JIT + codegen + parquet footers (and, in cluster mode,
     // executor registration), not measured
     runJob(spark, sfDir, 1, s"/tmp/graft-scaling-warmup-$outTag")
-    val secsPerRep = (1 to repeats).map { rep =>
+    val stats = (1 to repeats).map { rep =>
       drainListenerBus()
       runMs.set(0); cpuNs.set(0); gcMs.set(0)
       val t0 = System.nanoTime()
       val triples = runJob(spark, sfDir, replication, s"/tmp/graft-scaling-out-$outTag")
       val secs = (System.nanoTime() - t0) / 1e9
       drainListenerBus()
-      println(f"""{"rep": $rep, "level": "${level.label}", "seconds": $secs%.2f, "executor_run_sec": ${runMs.get / 1000.0}%.1f, "executor_cpu_sec": ${cpuNs.get / 1e9}%.1f, "gc_sec": ${gcMs.get / 1000.0}%.1f}""")
-      (secs, triples)
+      val cpuS = cpuNs.get / 1e9
+      val runS = runMs.get / 1000.0
+      val gcShare = if (runS > 0) (gcMs.get / 1000.0) / runS else 0.0
+      println(f"""{"rep": $rep, "level": "${level.label}", "seconds": $secs%.2f, "executor_run_sec": $runS%.1f, "executor_cpu_sec": $cpuS%.1f, "gc_sec": ${gcMs.get / 1000.0}%.1f, "gc_share": $gcShare%.3f, "triples_per_sec": ${triples / secs}%.0f}""")
+      RepStat(rep, secs, triples, cpuS, gcShare)
     }
-    val (secs, triples) = secsPerRep.minBy(_._1)
-    val tput = triples / secs
-    println(f"""{"level": "${level.label}", "cores": ${level.totalCores}, "triples": $triples, "seconds": $secs%.2f, "triples_per_sec": $tput%.0f, "reps": $repeats}""")
+    // ---- mechanical clean-leg adjudication (round-5 finding made protocol:
+    // the job's work is scale-invariant, so a leg whose cpu core-seconds
+    // sit outside ±bandPct of the reference — or whose GC share exceeds
+    // gcMax — ran in a polluted window and must not feed the headline).
+    // The reference is SCALING_REF_CPU when given (the paired small leg's
+    // figure, passed by tools/scaling_bench.sh), else the self-median of
+    // this run's GC-clean reps. tools/adjudicate_scaling.py re-derives the
+    // band across BOTH legs' reps and is the authoritative pair verdict.
+    val bandPct = sys.env.get("SCALING_BAND_PCT").fold(0.10)(_.toDouble)
+    val gcMax = sys.env.get("SCALING_GC_MAX").fold(0.10)(_.toDouble)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val selfPool = { val p = stats.filter(_.gcShare <= gcMax); if (p.nonEmpty) p else stats }
+    val refCpu = sys.env.get("SCALING_REF_CPU").map(_.toDouble)
+      .getOrElse(median(selfPool.map(_.cpuS)))
+    val refSource = if (sys.env.contains("SCALING_REF_CPU")) "env" else "self_median"
+    val (bandLo, bandHi) = (refCpu * (1 - bandPct), refCpu * (1 + bandPct))
+    def isClean(s: RepStat): Boolean =
+      s.cpuS >= bandLo && s.cpuS <= bandHi && s.gcShare <= gcMax
+    val legsJson = stats.map { s =>
+      f"""{"rep": ${s.rep}, "seconds": ${s.secs}%.2f, "cpu_core_s": ${s.cpuS}%.1f, "gc_share": ${s.gcShare}%.3f, "triples_per_sec": ${s.triples / s.secs}%.0f, "clean": ${isClean(s)}}"""
+    }.mkString("[", ", ", "]")
+    val cleanStats = stats.filter(isClean)
+    // headline = fastest CLEAN rep (fallback: fastest rep, flagged by
+    // clean_reps=0) — min-of-k is the closest observable to true machine
+    // capability on a shared box, and restricting it to clean reps stops a
+    // lucky-but-polluted window from setting the number
+    val best = (if (cleanStats.nonEmpty) cleanStats else stats).minBy(_.secs)
+    val tput = best.triples / best.secs
+    println(f"""{"level": "${level.label}", "cores": ${level.totalCores}, "triples": ${best.triples}, "seconds": ${best.secs}%.2f, "triples_per_sec": $tput%.0f, "reps": $repeats, "clean_reps": ${cleanStats.size}, "ref_cpu_core_s": $refCpu%.1f, "ref_source": "$refSource", "ref_band": [$bandLo%.1f, $bandHi%.1f], "gc_max": $gcMax, "legs": $legsJson}""")
     spark.stop()
   }
+
+  private final case class RepStat(rep: Int, secs: Double, triples: Long,
+                                   cpuS: Double, gcShare: Double)
 }

@@ -1118,14 +1118,18 @@ object SparkEntry {
         |  SELECT doc_id, i AS pos, t[i] AS head, t[i+1] AS next
         |  FROM toklists, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
         |bc AS MATERIALIZED (SELECT head, next, count(*) AS cb FROM big GROUP BY 1, 2),
+        |db AS MATERIALIZED (
+        |  SELECT doc_id, head, next, count(*) AS cnt, min(pos) AS pos
+        |  FROM big GROUP BY 1, 2, 3),
         |scored AS (
-        |  SELECT b.doc_id, b.pos,
+        |  SELECT d.doc_id, d.pos, d.cnt,
         |    -ln((bc.cb + 1)::DOUBLE / (uni.cu + v.vocab)::DOUBLE) AS nll
-        |  FROM big b JOIN bc USING (head, next) JOIN uni USING (head) CROSS JOIN v),
-        |agg AS (SELECT doc_id, list(nll ORDER BY pos) AS l FROM scored GROUP BY 1)
+        |  FROM db d JOIN bc USING (head, next) JOIN uni USING (head) CROSS JOIN v),
+        |agg AS (SELECT doc_id, list(cnt * nll ORDER BY pos) AS l,
+        |  sum(cnt) AS n FROM scored GROUP BY 1)
         |SELECT doc_id,
-        |  len(l)::BIGINT AS n_transitions,
-        |  round(list_reduce(l, (x, y) -> x + y) / len(l), 6) AS mean_nll
+        |  n::BIGINT AS n_transitions,
+        |  round(list_reduce(l, (x, y) -> x + y) / n::DOUBLE, 6) AS mean_nll
         |FROM agg""".stripMargin,
 
     "q_multimodal_meta" ->

@@ -63,10 +63,17 @@ class NgramQualitySpec extends AnyFunSuite {
     val big = toks.flatMap { case (_, ts) => ts.zip(ts.drop(1)) }
       .groupBy(identity).view.mapValues(_.size).toMap
     val expected = toks.map { case (id, ts) =>
-      val nlls = ts.zip(ts.drop(1)).map { p =>
-        -math.log((big(p) + 1).toDouble / (uni(p._1) + vocab).toDouble)
+      // the pinned op order: per-document DISTINCT bigrams, ordered by first
+      // position, folding cnt * nll left-to-right (the de-skewed formula)
+      val transitions = ts.zip(ts.drop(1))
+      val distinctBigrams = transitions.zipWithIndex
+        .groupBy(_._1).view
+        .mapValues(occ => (occ.size, occ.map(_._2).min)).toSeq
+        .sortBy(_._2._2)
+      val wsum = distinctBigrams.foldLeft(0.0) { case (acc, (p, (cnt, _))) =>
+        acc + cnt.toDouble * -math.log((big(p) + 1).toDouble / (uni(p._1) + vocab).toDouble)
       }
-      id -> math.rint(nlls.foldLeft(0.0)(_ + _) / nlls.size * 1e6) / 1e6
+      id -> math.rint(wsum / transitions.size * 1e6) / 1e6
     }.toMap
     val got = NgramQuality.bigramLmScores(d).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
@@ -74,5 +81,21 @@ class NgramQualitySpec extends AnyFunSuite {
     // repeated structure ("a b" appears in every doc) scores lower than it
     // would under a uniform model — the count tables are really being used
     assert(got(1L) != got(2L) || got(2L) != got(3L))
+  }
+
+  test("perplexity count joins carry the per-doc distinct-bigram frame, not token rows") {
+    // the de-skew contract: transitions are pre-aggregated to
+    // (doc_id, head, next) BEFORE the cb/cu joins, so the Zipf-skewed head
+    // key joins once per containing document, not once per occurrence —
+    // visible as an Aggregate on [doc_id, head, next] BELOW the joins
+    val df = NgramQuality.bigramLmScores(docsDf(1L -> "a b a c", 2L -> "a b b"))
+    val plan = df.queryExecution.optimizedPlan.toString()
+    val joinIdx = plan.indexOf("Join")
+    // the three-key aggregate, not the outer per-doc collect_list aggregate
+    val aggIdx = "Aggregate \\[doc_id#\\d+L?, head#".r
+      .findFirstMatchIn(plan).map(_.start).getOrElse(-1)
+    assert(joinIdx >= 0, s"no join in plan:\n$plan")
+    assert(aggIdx > joinIdx,
+      s"per-document distinct-bigram Aggregate is not below the count joins:\n$plan")
   }
 }

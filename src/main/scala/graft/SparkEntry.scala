@@ -378,7 +378,19 @@ object SparkEntry {
     "q_multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.synthesizeAssets(s, docs(s, dir)), 3)
         .toDF().select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-          length(col("payload")).cast("long").as("n_bytes"))))
+          length(col("payload")).cast("long").as("n_bytes"))),
+
+    // ---- REAL MP4 box-level demux: per-sample byte ranges out of the
+    // parsed stsz/stco tables; oracle recomputes offsets arithmetically
+    // (incl. the 587 + 4n moov prefix and the running size prefix-sum) —
+    // any writer or box-walker bug breaks the hash. The payload column is
+    // dropped for the oracle but its LENGTH must equal the parsed size.
+    "q_media_demux" -> ((s, dir) =>
+      Multimodal.demuxMp4Samples(Multimodal.mp4Assets(s, docs(s, dir)))
+        .toDF().select(col("doc_id"), col("sample_idx"), col("sample_size"),
+          col("sample_offset"), col("n_samples"), col("duration_ticks"),
+          col("timescale"), col("width"), col("height"),
+          length(col("payload")).cast("long").as("payload_bytes"))))
 
   // ============================================================ oracle SQL
 
@@ -1160,5 +1172,31 @@ object SparkEntry {
       """SELECT doc_id, CAST(f.i AS BIGINT) AS frame_idx,
         |  CAST(octet_length(unhex(md5(text))) AS BIGINT) AS n_bytes
         |FROM documents, (SELECT unnest(range(3)) AS i) f
-        |WHERE doc_id % 3 = 2""".stripMargin)
+        |WHERE doc_id % 3 = 2""".stripMargin,
+
+    // re-derives the MP4 writer's arithmetic: sample sizes, the 587 + 4n
+    // absolute chunk offset (ftyp + moov with a 4-byte stsz row per
+    // sample + mdat header), and each sample's offset as chunkOffset +
+    // prefix-sum of earlier sizes — all compared against values the Spark
+    // side PARSED out of real ISO-BMFF boxes
+    "q_media_demux" ->
+      """WITH vids AS (
+        |  SELECT doc_id, (doc_id % 13 + 3)::BIGINT AS n,
+        |    ((doc_id % 13 + 3) * (40 + (doc_id % 5) * 20))::BIGINT AS duration_ticks,
+        |    ((doc_id % 16 + 1) * 16)::BIGINT AS width,
+        |    ((doc_id % 9 + 1) * 16)::BIGINT AS height
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |samples AS (
+        |  SELECT doc_id, n, duration_ticks, width, height,
+        |    CAST(f.i AS BIGINT) AS sample_idx,
+        |    ((doc_id + 7 * f.i) % 24 + 8)::BIGINT AS sample_size
+        |  FROM vids, LATERAL (SELECT unnest(range(n)) AS i) f)
+        |SELECT doc_id, sample_idx, sample_size,
+        |  (587 + 4 * n + COALESCE(sum(sample_size) OVER (
+        |     PARTITION BY doc_id ORDER BY sample_idx
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+        |    AS sample_offset,
+        |  n AS n_samples, duration_ticks, 600::BIGINT AS timescale,
+        |  width, height, sample_size AS payload_bytes
+        |FROM samples""".stripMargin)
 }

@@ -125,4 +125,152 @@ object MediaContainers {
     require(rd32(bytes, 30) == 0, "only uncompressed (BI_RGB) BMP supported")
     BmpInfo(rd32(bytes, 18), rd32(bytes, 22), rd16(bytes, 28), bytes.length)
   }
+
+  // ------------------------------------------------------------------ MP4
+  // ISO-BMFF (MP4) is big-endian, unlike RIFF/BMP above.
+
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def rdBe32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** `size + fourcc + payload` ISO-BMFF box. Sizes are computed from the
+    * assembled children, never hardcoded. */
+  private def box(fourcc: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.foldLeft(Array.emptyByteArray)(_ ++ _)
+    be32(8 + body.length) ++ fourcc.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body
+  }
+
+  /** Box-level metadata of an MP4: everything a demuxer reads before any
+    * codec is involved. `sampleSizes`/`chunkOffset` locate the raw sample
+    * byte ranges inside `mdat` (sample i starts at
+    * `chunkOffset + sum(sampleSizes take i)`). */
+  final case class Mp4Info(timescale: Int, durationTicks: Int,
+                           width: Int, height: Int,
+                           sampleCount: Int, sampleSizes: Array[Int],
+                           chunkOffset: Int, totalBytes: Int)
+
+  /**
+   * Spec-valid minimal single-track MP4 (ISO/IEC 14496-12 box layout):
+   * `ftyp` + `moov`(`mvhd` + `trak`(`tkhd` + `mdia`(`mdhd` + `hdlr` +
+   * `minf`(`vmhd` + `dinf`/`dref` + `stbl`(`stsd`/`stts`/`stsc`/`stsz`/
+   * `stco`))))) + `mdat`, one chunk holding all samples back-to-back with
+   * deterministic LCG payload bytes (no RNG). Duration = nSamples ×
+   * sampleDelta in `timescale` ticks; width/height land in `tkhd` as
+   * 16.16 fixed point. The `mp4v` sample entry carries no decoder-config
+   * box — box-level demux needs none; sample DECODE is the part that
+   * genuinely requires codec libraries and stays stubbed.
+   */
+  def mp4Bytes(width: Int, height: Int, sampleSizes: Array[Int],
+               timescale: Int, sampleDelta: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && timescale > 0 && sampleDelta > 0)
+    require(sampleSizes.nonEmpty && sampleSizes.forall(_ > 0))
+    val n = sampleSizes.length
+    val duration = n * sampleDelta
+    val ftyp = box("ftyp", "isom".getBytes, be32(0), "isom".getBytes, "mp41".getBytes)
+    val mvhd = box("mvhd", be32(0), be32(0), be32(0), be32(timescale), be32(duration),
+      be32(0x00010000), be16(0x0100), be16(0), be32(0), be32(0),
+      identityMatrix, new Array[Byte](24), be32(2))
+    val tkhd = box("tkhd", be32(3) /* flags: enabled+in-movie */, be32(0), be32(0),
+      be32(1), be32(0), be32(duration), new Array[Byte](8),
+      be16(0), be16(0), be16(0), be16(0), identityMatrix,
+      be32(width << 16), be32(height << 16))
+    val mdhd = box("mdhd", be32(0), be32(0), be32(0), be32(timescale), be32(duration),
+      be16(0x55c4) /* 'und' */, be16(0))
+    val hdlr = box("hdlr", be32(0), be32(0), "vide".getBytes,
+      new Array[Byte](12), Array(0.toByte))
+    val vmhd = box("vmhd", be32(1), be16(0), new Array[Byte](6))
+    val dinf = box("dinf", box("dref", be32(0), be32(1), box("url ", be32(1))))
+    val sampleEntry = be32(86) ++ "mp4v".getBytes ++ new Array[Byte](6) ++ be16(1) ++
+      be16(0) ++ be16(0) ++ new Array[Byte](12) ++ be16(width) ++ be16(height) ++
+      be32(0x00480000) ++ be32(0x00480000) ++ be32(0) ++ be16(1) ++
+      new Array[Byte](32) ++ be16(24) ++ be16(0xffff)
+    val stsd = box("stsd", be32(0), be32(1), sampleEntry)
+    val stts = box("stts", be32(0), be32(1), be32(n), be32(sampleDelta))
+    val stsc = box("stsc", be32(0), be32(1), be32(1), be32(n), be32(1))
+    val stsz = box("stsz", be32(0), be32(0), be32(n),
+      sampleSizes.flatMap(be32))
+    // stco's chunk offset is an ABSOLUTE file offset — computed from the
+    // assembled box sizes, which is what makes parsing it a real check
+    def moovWith(chunkOffset: Int): Array[Byte] = {
+      val stco = box("stco", be32(0), be32(1), be32(chunkOffset))
+      val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+      val minf = box("minf", vmhd, dinf, stbl)
+      val mdia = box("mdia", mdhd, hdlr, minf)
+      val trak = box("trak", tkhd, mdia)
+      box("moov", mvhd, trak)
+    }
+    val moovLen = moovWith(0).length // stco is fixed-width: length is offset-independent
+    val chunkOffset = ftyp.length + moovLen + 8
+    val dataLen = sampleSizes.sum
+    val out = new java.io.ByteArrayOutputStream(chunkOffset + dataLen)
+    out.write(ftyp); out.write(moovWith(chunkOffset))
+    out.write(be32(8 + dataLen)); out.write("mdat".getBytes)
+    var s = seed | 1
+    var i = 0
+    while (i < dataLen) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      out.write(((s >>> 33) & 0xff).toInt)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  private val identityMatrix: Array[Byte] =
+    be32(0x00010000) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000)
+
+  /**
+   * Box-level MP4 demux: a recursive box walk (the generic size+fourcc
+   * grammar, so unknown sibling boxes are skipped per spec) collecting
+   * `mvhd` (timescale/duration), `tkhd` (track dims, 16.16 fixed),
+   * `stsz` (per-sample sizes) and `stco` (chunk offset). Validates the
+   * `ftyp` magic and rejects truncated/malformed boxes loudly.
+   */
+  def parseMp4(bytes: Array[Byte]): Mp4Info = {
+    require(bytes.length >= 16, s"MP4 too short: ${bytes.length} bytes")
+    require(ascii(bytes, 4, 4) == "ftyp", "not an ISO-BMFF file (no ftyp)")
+    var timescale = -1; var duration = -1
+    var width = -1; var height = -1
+    var sizes: Array[Int] = null; var chunkOffset = -1
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val len = rdBe32(bytes, off)
+        require(len >= 8 && off + len <= end, s"malformed box at offset $off (size $len)")
+        val typ = ascii(bytes, off + 4, 4)
+        val body = off + 8
+        typ match {
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" => walk(body, off + len)
+          case "mvhd" =>
+            timescale = rdBe32(bytes, body + 12); duration = rdBe32(bytes, body + 16)
+          case "tkhd" =>
+            width = rdBe32(bytes, body + 76) >>> 16
+            height = rdBe32(bytes, body + 80) >>> 16
+          case "stsz" =>
+            val fixed = rdBe32(bytes, body + 4)
+            val n = rdBe32(bytes, body + 8)
+            sizes = if (fixed != 0) Array.fill(n)(fixed)
+                    else Array.tabulate(n)(i => rdBe32(bytes, body + 12 + 4 * i))
+          case "stco" =>
+            require(rdBe32(bytes, body + 4) == 1, "only single-chunk MP4s supported")
+            chunkOffset = rdBe32(bytes, body + 8)
+          case _ => // skip: ftyp, mdat, hdlr, vmhd, dinf, stsd, stts, stsc, ...
+        }
+        off += len
+      }
+    }
+    walk(0, bytes.length)
+    require(timescale > 0 && sizes != null && chunkOffset > 0,
+      "missing mvhd/stsz/stco box")
+    require(chunkOffset + sizes.sum <= bytes.length,
+      s"stco/stsz point past the file (${chunkOffset + sizes.sum} > ${bytes.length})")
+    Mp4Info(timescale, duration, width, height, sizes.length, sizes,
+      chunkOffset, bytes.length)
+  }
 }

@@ -293,6 +293,35 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map(t => (t._1, t._2)).distinct.length == got.length)
   }
 
+  test("MP4 demux: frame payloads are true mdat slices with box-table offsets") {
+    val assets = Multimodal.mp4Assets(spark, docs.limit(60))
+    val samples = Multimodal.demuxMp4Samples(assets).collect()
+    assert(samples.nonEmpty)
+    samples.groupBy(_.doc_id).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_.sample_idx)
+      assert(sorted.length == (id % 13 + 3).toInt)
+      // offsets = 587 + 4n + prefix sums of the parsed sizes
+      var off = 587L + 4 * sorted.length
+      sorted.foreach { s =>
+        assert(s.sample_offset == off, s"doc $id sample ${s.sample_idx}")
+        assert(s.payload.length == s.sample_size)
+        off += s.sample_size
+      }
+      // the sliced bytes match an independent LCG regeneration of mdat
+      var st = id | 1
+      sorted.foreach { s =>
+        s.payload.foreach { b =>
+          st = st * 6364136223846793005L + 1442695040888963407L
+          assert(b == ((st >>> 33) & 0xff).toByte, s"doc $id payload byte differs")
+        }
+      }
+    }
+    // the MediaFrame shaping keeps dims from tkhd
+    val frames = Multimodal.frameSampleMp4(assets).collect()
+    assert(frames.forall(f => f.width == (f.doc_id % 16 + 1) * 16 &&
+      f.height == (f.doc_id % 9 + 1) * 16))
+  }
+
   test("multimodal: synthesized payloads are 16 md5 bytes; stub features are deterministic") {
     val assets = Multimodal.synthesizeAssets(spark, docs)
     val feats1 = Multimodal.extractFeatures(assets).collect().sortBy(_.doc_id)

@@ -164,21 +164,48 @@ object StreamingExtraction {
    *        `rewrite_data_files` + `expire_snapshots` maintenance pairing,
    *        here as part of the ingest cadence itself)
    */
+  /**
+   * @param refreshCanonicalEvery when > 0, the "periodic batch rebuild" of
+   *        the canonicalization dimension runs INSIDE the job instead of
+   *        being a separate deployment concern: every batch's candidate-link
+   *        edges are accumulated (parquet append next to the catalog — a
+   *        replayed batch appends duplicate edge rows, which connected
+   *        components ignores), and every N micro-batches (by the
+   *        checkpoint-persistent batchId, so the cadence survives restarts)
+   *        the mapping is re-derived over ALL accumulated edges and
+   *        (a) swapped in for subsequent batches, and (b) applied
+   *        RETROACTIVELY to the graph: existing mention triples' objects are
+   *        remapped through the new mapping and recommitted as one
+   *        overwrite snapshot. Retroactive remap is sound because edges
+   *        only accumulate — components only ever merge, and with min-id
+   *        representatives rep_new(rep_old(e)) == rep_new(e), so mapping an
+   *        already-canonicalized object lands on the same id a from-scratch
+   *        pipeline would. After a refresh the graph therefore equals the
+   *        batch pipeline's output on the same data (spec-asserted), which
+   *        is the whole point: an entity pair that only becomes linkable by
+   *        a later batch's edge gets merged once the refresh runs.
+   */
   def incrementalGraph(spark: SparkSession, inputDir: String,
                        canonical: DataFrame, catalogRoot: String,
                        graphIri: String, checkpointDir: String,
-                       compactEvery: Int = 0, keepSnapshots: Int = 3): Unit = {
+                       compactEvery: Int = 0, keepSnapshots: Int = 3,
+                       refreshCanonicalEvery: Int = 0): Unit = {
     import spark.implicits._
     val catalog = new graft.catalog.ParquetSnapshotCatalog(spark, catalogRoot)
+    val edgesDir = catalogRoot + "/_linkedges/" +
+      java.net.URLEncoder.encode(GraphCatalogAlias.resolveGraphIri(graphIri), "UTF-8")
+    // the dimension the NEXT batch extracts with; foreachBatch runs
+    // driver-side and sequentially, so plain mutation is safe
+    var currentCanonical = canonical
     val q = turnStream(spark, inputDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[Turn], _: Long) =>
+      .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
         // an empty planning artifact must not commit an empty delta snapshot
         if (!batch.isEmpty) {
           val mentions = Extraction.mentions(spark, batch)
-          val triples = Extraction.triples(mentions, canonical, batch.toDF())
+          val triples = Extraction.triples(mentions, currentCanonical, batch.toDF())
           val asRows = triples.select(
             col("s"), lit(graft.model.TermKind.Iri).as("s_kind"), col("p"),
             col("o"), col("o_kind"),
@@ -187,6 +214,21 @@ object StreamingExtraction {
           // overwrite=false: first batch seeds v1, every later batch is a
           // delta commit (only genuinely-new triples are written)
           catalog.write(graphIri, asRows, overwrite = false)
+          if (refreshCanonicalEvery > 0) {
+            Extraction.linkEdges(mentions).write.mode("append").parquet(edgesDir)
+            if ((batchId + 1) % refreshCanonicalEvery == 0) {
+              val edges = spark.read.parquet(edgesDir)
+              val nodes = edges.select(col("entity_a").as("entity_id"))
+                .union(edges.select(col("entity_b").as("entity_id"))).distinct()
+              // entities in no edge are singletons either way: the triples
+              // coalesce and the remap coalesce both map them to themselves,
+              // exactly as a full-corpus connected components would
+              val refreshed = graft.pipeline.Canonicalize
+                .connectedComponents(spark, edges, nodes)
+              remapGraph(catalog, graphIri, refreshed)
+              currentCanonical = refreshed
+            }
+          }
           if (compactEvery > 0 && catalog.snapshots(graphIri).size > compactEvery) {
             catalog.compact(graphIri)
             catalog.expireSnapshots(graphIri, keepSnapshots)
@@ -196,5 +238,28 @@ object StreamingExtraction {
       }
       .start()
     q.awaitTermination()
+  }
+
+  // local alias: avoids importing the catalog object under a clashing name
+  private val GraphCatalogAlias = graft.catalog.GraphCatalog
+
+  /** Retroactively re-canonicalize a graph's mention triples under a
+    * refreshed mapping and commit the result as one overwrite snapshot.
+    * Only `urn:graft:mentions` objects are entity IRIs; everything else
+    * passes through untouched. Rows that collapse onto the same canonical
+    * object are deduplicated (set semantics). */
+  private def remapGraph(catalog: graft.catalog.GraphCatalog, graphIri: String,
+                         canonical: DataFrame): Unit = {
+    val (comments, df) = catalog.read(graphIri)
+    val isMention = col("p") === "urn:graft:mentions"
+    val mapping = canonical.select(col("entity_id").as("__ent"),
+      col("canonical_id").as("__canon"))
+    val remapped = df.where(isMention)
+      .withColumn("__ent", expr("substring(o, 5)")) // strip the 'urn:' prefix
+      .join(mapping, Seq("__ent"), "left")
+      .withColumn("o", concat(lit("urn:"), coalesce(col("__canon"), col("__ent"))))
+      .drop("__ent", "__canon")
+    val out = remapped.unionByName(df.where(!isMention)).dropDuplicates()
+    catalog.write(graphIri, out, overwrite = true, leadingComments = comments)
   }
 }

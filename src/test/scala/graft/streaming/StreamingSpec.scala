@@ -164,6 +164,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected && got > 0)
   }
 
+  test("periodic canonicalization refresh merges cross-batch-linkable pairs retroactively") {
+    import spark.implicits._
+    import graft.pipeline.Canonicalize
+    val inDir = Files.createTempDirectory("graftincr-in").toString
+    val catRoot = Files.createTempDirectory("graftincr-cat").toString
+    val ckpt = Files.createTempDirectory("graftincr-ckpt").toString
+    val iri = "urn:graft:incremental-refresh"
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // batch 1: "sort" alone — entity ent:sort, no edge involving it;
+    // batch 2: "sort merge" — the overlap edge (ent:sort, ent:sort_merge)
+    // exists ONLY in batch 2, so the pair is linkable only cross-batch
+    val batch1 = Seq(("c1", 0, "user", "please sort the rows", null: String, ts),
+      ("c1", 1, "assistant", "we scan the table first", null: String, ts))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val batch2 = Seq(("c2", 0, "user", "use a sort merge strategy", null: String, ts))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    // the caller-provided dimension starts EMPTY (identity mapping): the
+    // in-job refresh is what builds the real one
+    val identity = Seq.empty[(String, String)].toDF("entity_id", "canonical_id")
+    def run(): Unit = StreamingExtraction.incrementalGraph(
+      spark, inDir, identity, catRoot, iri, ckpt, refreshCanonicalEvery = 1)
+    batch1.write.mode("append").parquet(inDir)
+    run()
+    val cat = new graft.catalog.ParquetSnapshotCatalog(spark, catRoot)
+    def mentionObjs() = cat.read(iri)._2
+      .where(col("p") === "urn:graft:mentions").select("s", "o").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // after batch 1's refresh: the tab—table overlap merged (identity
+    // dimension notwithstanding), sort is its own singleton
+    val after1 = mentionObjs()
+    assert(after1.contains(("urn:conv:c1", "urn:ent:sort")))
+    assert(after1.contains(("urn:conv:c1", "urn:ent:tab"))) // rep of {tab, table}
+    assert(!after1.exists(_._2 == "urn:ent:table")) // merged away by refresh 1
+    batch2.write.mode("append").parquet(inDir)
+    run()
+    val after2 = mentionObjs()
+    // the cross-batch pair merged: sort_merge canonicalizes to ent:sort
+    // (min-id rep), and NO triple keeps the unmerged id
+    assert(after2.contains(("urn:conv:c2", "urn:ent:sort")))
+    assert(!after2.exists(_._2 == "urn:ent:sort_merge"))
+    // the refreshed graph equals the batch pipeline on the same data with a
+    // full-corpus canonicalization — the "periodic batch rebuild" contract
+    val allTurns = batch1.unionByName(batch2).as[graft.model.Turn]
+    val fullCanonical = Canonicalize.connectedComponents(spark,
+      Extraction.linkEdgesFused(spark, allTurns),
+      Extraction.mentions(spark, allTurns).toDF().select(col("entity_id")).distinct())
+    val batchSet = Extraction.triples(
+      Extraction.mentions(spark, allTurns), fullCanonical, allTurns.toDF())
+      .select("s", "p", "o", "o_kind").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    val streamedSet = cat.read(iri)._2
+      .select("s", "p", "o", "o_kind").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(streamedSet == batchSet)
+    assert(streamedSet.nonEmpty)
+  }
+
   test("flatMapGroupsWithState tracks per-conversation running entity counts") {
     val dir = writeTranscripts()
     val updates = StreamingExtraction.conversationState(spark,

@@ -316,6 +316,50 @@ object Ann {
     ivfIndexStats(spark, path).appendedFraction > threshold
 
   /**
+   * Compact-only maintenance: fold the per-cell delta files into one base
+   * file set at `destPath` WITHOUT changing any cell assignment — the
+   * existing `cell` column is carried over verbatim (no centroid math, no
+   * re-quantization), only `idx_gen` resets to 0. One partition-local
+   * rewrite; query results are bit-identical before and after. The caller
+   * swaps paths after the write completes (publish-then-swap, same
+   * discipline as the catalog's compaction — never rewrite a path readers
+   * are probing).
+   */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, destPath: String): Unit =
+    spark.read.parquet(indexPath)
+      .withColumn("idx_gen", lit(0))
+      .write.mode("overwrite").partitionBy("cell").parquet(destPath)
+
+  /**
+   * The documented retrain/compact policy, executable: when the appended
+   * fraction exceeds `threshold`, RETRAIN the coarse quantizer on the
+   * index's own current content (the index IS the corpus — vec_id +
+   * embedding ride in every row) and rebuild at `destPath` with the new
+   * centroids, returning them so the caller re-points queries and future
+   * appends; otherwise fold delta files with [[compactIvfIndex]]
+   * (assignments preserved, `None` returned — keep using the old
+   * centroids). Either way `destPath` holds a fresh single-generation
+   * index and the caller swaps paths atomically.
+   */
+  def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, destPath: String,
+                       threshold: Double = 0.25,
+                       nCells: Int = IvfTrainedCells, iters: Int = IvfTrainIters,
+                       sampleMax: Long = IvfTrainSample): Option[Seq[Seq[Double]]] = {
+    if (shouldRetrainIvf(spark, indexPath, threshold)) {
+      val corpus = spark.read.parquet(indexPath).drop("cell", "idx_gen")
+      val cents = trainIvfCentroids(corpus, nCells, iters, sampleMax)
+        .map(_.toSeq).toSeq
+      writeIvfIndex(corpus, destPath, cents)
+      Some(cents)
+    } else {
+      compactIvfIndex(spark, indexPath, destPath)
+      None
+    }
+  }
+
+  /**
    * IVF top-k served FROM the materialized index: the queries' probe cells
    * are collected first (a bounded driver read — at most queries x nProbe
    * values over the small query set, and at most `centroids.size` distinct)

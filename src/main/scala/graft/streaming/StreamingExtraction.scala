@@ -243,6 +243,45 @@ object StreamingExtraction {
   // local alias: avoids importing the catalog object under a clashing name
   private val GraphCatalogAlias = graft.catalog.GraphCatalog
 
+  val embeddingSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /**
+   * The ANN counterpart of [[incrementalGraph]] (round-6: the incremental
+   * story now covers the vector index too): `readStream` over a growing
+   * embeddings directory → `foreachBatch` [[graft.ops.Ann.appendIvfIndex]]
+   * — each micro-batch's vectors are quantized with the FROZEN `centroids`
+   * and appended as per-cell delta files, so the materialized IVF index
+   * tracks the corpus at delta cost. `Trigger.AvailableNow` + checkpoint:
+   * each invocation processes only new files and exits; a restart
+   * reprocesses nothing. Replay caveat vs the graph pipeline: the catalog's
+   * anti-join makes triple replays idempotent, but a parquet append has no
+   * such dedup — a batch replayed after a crash-between-write-and-commit
+   * appends its vectors twice. Duplicate vectors do not change top-k
+   * results' neighbor sets (ties collapse on vec_id), but the clean fix at
+   * maintenance time is [[graft.ops.Ann.maintainIvfIndex]]'s rebuild, and
+   * deployments needing strict exactly-once write through an Iceberg table
+   * instead of raw parquet. Drift maintenance stays a batch-side op: run
+   * `maintainIvfIndex` between invocations and swap paths.
+   */
+  def incrementalAnnIndex(spark: SparkSession, inputDir: String,
+                          indexPath: String, centroids: Seq[Seq[Double]],
+                          checkpointDir: String): Unit = {
+    val q = spark.readStream.schema(embeddingSchema).parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) graft.ops.Ann.appendIvfIndex(batch, indexPath, centroids)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Retroactively re-canonicalize a graph's mention triples under a
     * refreshed mapping and commit the result as one overwrite snapshot.
     * Only `urn:graft:mentions` objects are entity IRIs; everything else

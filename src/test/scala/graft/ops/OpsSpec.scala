@@ -278,6 +278,49 @@ class OpsSpec extends AnyFunSuite {
       "expected base + two delta part files in at least one cell dir")
   }
 
+  test("IVF maintenance policy: retrain above threshold, compact-only below") {
+    val corpusA = embeddings.where(col("vec_id") % 3 =!= 0)
+    val corpusSmall = embeddings.where(col("vec_id") % 3 === 0 && col("vec_id") < 100)
+    val corpusRest = embeddings.where(col("vec_id") % 3 === 0 && col("vec_id") >= 100)
+    val cents = Ann.trainIvfCentroids(corpusA).map(_.toSeq).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graftivfmnt")
+    val idx = tmp.toString + "/idx"
+    Ann.writeIvfIndex(corpusA, idx, cents)
+    val queryIds = Seq(0L, 1L, 2L, 3L, 4L)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+
+    // small append (< 25% of the index) -> compact-only: same assignments,
+    // old centroids stay valid, results bit-identical, deltas folded
+    Ann.appendIvfIndex(corpusSmall, idx, cents)
+    assert(!Ann.shouldRetrainIvf(spark, idx))
+    val before = asSet(Ann.ivfTopKIndexed(spark, idx, embeddings, queryIds, 10, cents))
+    val compacted = tmp.toString + "/compacted"
+    assert(Ann.maintainIvfIndex(spark, idx, compacted).isEmpty)
+    assert(asSet(Ann.ivfTopKIndexed(spark, compacted, embeddings, queryIds, 10, cents)) == before)
+    assert(Ann.ivfIndexStats(spark, compacted).appended == 0L) // gen reset
+    // assignments preserved verbatim: per-cell counts identical
+    def cellCounts(p: String) = spark.read.parquet(p).groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cellCounts(compacted) == cellCounts(idx))
+
+    // big append (> 25%) -> retrain on the index's own content: returned
+    // centroids equal training on the equivalent union corpus, and the
+    // rebuilt index answers like a from-scratch build with them
+    Ann.appendIvfIndex(corpusRest, compacted, cents)
+    assert(Ann.shouldRetrainIvf(spark, compacted))
+    val retrained = tmp.toString + "/retrained"
+    val newCents = Ann.maintainIvfIndex(spark, compacted, retrained)
+    assert(newCents.isDefined)
+    val expectCents = Ann.trainIvfCentroids(embeddings).map(_.toSeq).toSeq
+    assert(newCents.get == expectCents)
+    val scratch = tmp.toString + "/scratch"
+    Ann.writeIvfIndex(embeddings, scratch, expectCents)
+    assert(asSet(Ann.ivfTopKIndexed(spark, retrained, embeddings, queryIds, 10, newCents.get)) ==
+      asSet(Ann.ivfTopKIndexed(spark, scratch, embeddings, queryIds, 10, expectCents)))
+    assert(Ann.ivfIndexStats(spark, retrained).appended == 0L)
+  }
+
   test("IVF training is deterministic (same centroids on re-run)") {
     val c1 = Ann.trainIvfCentroids(embeddings)
     val c2 = Ann.trainIvfCentroids(embeddings)

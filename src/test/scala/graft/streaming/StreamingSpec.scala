@@ -221,6 +221,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedSet.nonEmpty)
   }
 
+  test("incremental ANN index: streamed appends equal a from-scratch build; restart no-ops") {
+    import graft.ops.Ann
+    val inDir = Files.createTempDirectory("graftann-in").toString
+    val ckpt = Files.createTempDirectory("graftann-ckpt").toString
+    val tmp = Files.createTempDirectory("graftann-idx")
+    val idx = tmp.toString + "/idx"
+    val embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = Ann.trainIvfCentroids(embeddings).map(_.toSeq).toSeq
+    val half1 = embeddings.where(col("vec_id") % 2 === 0)
+    val half2 = embeddings.where(col("vec_id") % 2 =!= 0)
+    def run(): Unit =
+      StreamingExtraction.incrementalAnnIndex(spark, inDir, idx, cents, ckpt)
+    half1.write.mode("append").parquet(inDir)
+    run()
+    val afterFirst = Ann.ivfIndexStats(spark, idx).total
+    assert(afterFirst == half1.count())
+    half2.write.mode("append").parquet(inDir)
+    run()
+    assert(Ann.ivfIndexStats(spark, idx).total == embeddings.count())
+    // restart with no new data: the checkpoint reprocesses nothing
+    run()
+    assert(Ann.ivfIndexStats(spark, idx).total == embeddings.count())
+    // queries over the streamed index == a from-scratch index (same centroids)
+    val full = tmp.toString + "/full"
+    Ann.writeIvfIndex(embeddings, full, cents)
+    val queryIds = Seq(0L, 1L, 2L, 3L, 4L)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(asSet(Ann.ivfTopKIndexed(spark, idx, embeddings, queryIds, 10, cents)) ==
+      asSet(Ann.ivfTopKIndexed(spark, full, embeddings, queryIds, 10, cents)))
+  }
+
   test("flatMapGroupsWithState tracks per-conversation running entity counts") {
     val dir = writeTranscripts()
     val updates = StreamingExtraction.conversationState(spark,

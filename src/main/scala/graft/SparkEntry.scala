@@ -294,6 +294,10 @@ object SparkEntry {
     "q_funnel" -> ((s, dir) =>
       Sessionize.funnel(table(s, dir, "events"))),
 
+    // ---- retention cohorts (first-active-week x week-offset activity grid)
+    "q_retention" -> ((s, dir) =>
+      Sessionize.retentionCohorts(table(s, dir, "events"))),
+
     "q_embed_dups" -> ((s, dir) =>
       Dedup.embeddingNearDups(table(s, dir, "embeddings"), 0.4)),
 
@@ -970,6 +974,21 @@ object SparkEntry {
         |  (max(tus) - min(tus))::BIGINT AS duration_us,
         |  max(value) AS max_value
         |FROM sess GROUP BY user_id, session_idx""".stripMargin,
+
+    "q_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+        |coh AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1),
+        |sizes AS (SELECT cohort_week, count(*) AS n_cohort FROM coh GROUP BY 1),
+        |act AS (
+        |  SELECT c.cohort_week, u.week - c.cohort_week AS week_offset,
+        |    count(*) AS n_active
+        |  FROM uw u JOIN coh c USING (user_id) GROUP BY 1, 2)
+        |SELECT a.cohort_week::BIGINT AS cohort_week,
+        |  a.week_offset::BIGINT AS week_offset,
+        |  a.n_active::BIGINT AS n_active, s.n_cohort::BIGINT AS n_cohort,
+        |  round(a.n_active::DOUBLE / s.n_cohort::DOUBLE, 6) AS retention_rate
+        |FROM act a JOIN sizes s USING (cohort_week)""".stripMargin,
 
     "q_quantize_int8" ->
       """WITH base AS (

@@ -74,4 +74,41 @@ object Sessionize {
         (max(col("tus")) - min(col("tus"))).as("duration_us"),
         max(col("value")).as("max_value"))
   }
+
+  /**
+   * Retention cohorts — the third canonical behavioural operator (after
+   * sessionization and funnels): users are cohorted by their first active
+   * week, and each (cohort, week-offset) cell counts how many of them were
+   * active that many weeks later.
+   *
+   * Weeks are INTEGER epoch-microsecond buckets (`epoch_us div 7d`) rather
+   * than calendar `date_trunc('week', …)` — bucket arithmetic is identical
+   * in every engine (the oracle uses `//`), where week-truncation semantics
+   * (ISO Monday vs locale) are not. All outputs are integers except the
+   * rate, an exactly-rounded division of two small integer-valued doubles.
+   *
+   * Shape at 100 TB: one distinct over (user_id, week) — the raw event
+   * volume collapses map-side to at most users × active-weeks — then a
+   * user-keyed aggregate + join (self-colocated), a cohort-keyed aggregate,
+   * and a broadcast join against the tiny cohort-size dimension. No window
+   * functions, no per-user sequences — unlike sessionization this operator
+   * never needs a user's events on one partition, so hot users are not a
+   * skew risk at all.
+   */
+  def retentionCohorts(events: DataFrame,
+                       bucketUs: Long = 7L * 86400 * 1000000): DataFrame = {
+    val userWeeks = events
+      .select(col("user_id"),
+        expr(s"unix_micros(cast(ts as timestamp)) div $bucketUs").as("week"))
+      .distinct()
+    val cohorts = userWeeks.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week").agg(count(lit(1)).as("n_cohort"))
+    userWeeks.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active")) // userWeeks is distinct -> count == distinct users
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort").cast("double"), 6)
+          .as("retention_rate"))
+  }
 }

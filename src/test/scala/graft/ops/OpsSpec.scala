@@ -336,6 +336,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map(t => (t._1, t._2)).distinct.length == got.length)
   }
 
+  test("retention cohorts match a hand-computed grid") {
+    import spark.implicits._
+    def ts(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    // users 1,2 first active week 0; user 3 first active week 1.
+    // week 1: user 1 returns; week 2: users 2 and 3 return.
+    val events = Seq(
+      (1L, ts(0), 1L), (2L, ts(1), 2L),            // week 0: users 1, 2
+      (1L, ts(8), 3L), (3L, ts(9), 4L),            // week 1: user 1 back, user 3 new
+      (2L, ts(15), 5L), (3L, ts(16), 6L))          // week 2: users 2, 3
+      .toDF("user_id", "ts", "event_id")
+      .withColumn("event_type", lit("x")).withColumn("value", lit(0.0))
+    val got = Sessionize.retentionCohorts(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got == Map(
+      (0L, 0L) -> ((2L, 2L, 1.0)),   // cohort week 0: both active at offset 0
+      (0L, 1L) -> ((1L, 2L, 0.5)),   // user 1 back a week later
+      (0L, 2L) -> ((1L, 2L, 0.5)),   // user 2 back two weeks later
+      (1L, 0L) -> ((1L, 1L, 1.0)),   // cohort week 1: user 3
+      (1L, 1L) -> ((1L, 1L, 1.0))))  // user 3 back a week later
+  }
+
   test("MP4 demux: frame payloads are true mdat slices with box-table offsets") {
     val assets = Multimodal.mp4Assets(spark, docs.limit(60))
     val samples = Multimodal.demuxMp4Samples(assets).collect()

@@ -331,6 +331,16 @@ object SparkEntry {
         Seq(0L, 1L, 2L, 3L, 4L), 10, cents)
     }),
 
+    // ---- product-quantization ADC top-k (trained per-block codebooks,
+    // 4-byte codes, broadcast query distance tables — the memory-bounded
+    // billion-vector path)
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val cbs: Seq[Seq[Seq[Double]]] =
+        Pq.trainCodebooks(emb).toSeq.map(_.toSeq.map(_.toSeq))
+      Pq.adcTopK(emb, Seq(0L, 1L, 2L, 3L, 4L), 10, cbs)
+    }),
+
     // ---- embedding near-dup blocked by the LSH index itself (no label needed)
     "q_embed_dups_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDupsLsh(table(s, dir, "embeddings"), 0.3)),
@@ -752,6 +762,94 @@ object SparkEntry {
     sb.toString
   }
 
+  /**
+   * PQ oracle: re-derives the per-block codebooks, the corpus codes, and
+   * the ADC scores from the data with bit-exact parity to
+   * [[graft.ops.Pq]] / [[graft.functions.VecFunctions.d2Round6]]:
+   *  - every squared distance is `round(list_dot_product(a,a) -
+   *    2*list_dot_product(a,b) + list_dot_product(b,b), 6)` with the
+   *    centroid FIRST — the same left-associated grouping and sequential
+   *    dot folds as the Scala kernel;
+   *  - farthest-first picks rank `ORDER BY mn DESC, vec_id ASC`, Lloyd
+   *    and encode assignments rank `ORDER BY d2 ASC, k ASC` — matching
+   *    the Scala strict-inequality scans;
+   *  - Lloyd means fold members with `list_reduce(list(x ORDER BY
+   *    vec_id), +)`, the Scala accumulation order;
+   *  - the ADC sum folds the per-block round-6 entries in BLOCK order
+   *    (`list_reduce(list(d2 ORDER BY blk))` here, the `aggregate` over
+   *    `sequence(0,7)` in Spark; `0.0 + x == x` exactly, so the folds
+   *    agree), rounded to 6 dp.
+   * One greedy/Lloyd chain handles all 8 blocks at once (the `blk` column
+   * rides through every CTE). All chain CTEs are MATERIALIZED — DuckDB
+   * inlines plain CTEs, which is exponential in a 15-step chain.
+   */
+  private def annPqOracle: String = {
+    import graft.ops.Pq.{Blocks, Codes, Iters, SubDim, TrainSample}
+    def d2(a: String, b: String): String =
+      s"round(list_dot_product($a, $a) - 2*list_dot_product($a, $b) + list_dot_product($b, $b), 6)"
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |blocks AS (SELECT unnest(range($Blocks)) AS blk),
+         |dims AS (SELECT unnest(range($SubDim)) AS i),
+         |sub AS MATERIALIZED (SELECT v.vec_id, b.blk,
+         |    list_slice(v.e, b.blk * $SubDim + 1, b.blk * $SubDim + $SubDim) AS s
+         |  FROM vecs v CROSS JOIN blocks b),
+         |samp AS MATERIALIZED (SELECT vec_id, blk, s FROM sub WHERE vec_id < $TrainSample),
+         |cb_i0 AS MATERIALIZED (SELECT blk, 0 AS k, s FROM samp
+         |  WHERE vec_id = (SELECT min(vec_id) FROM samp))""".stripMargin
+    for (c <- 1 until Codes) {
+      sb ++=
+        s""",
+           |mn_$c AS (SELECT sp.blk, sp.vec_id, sp.s, min(${d2("ct.s", "sp.s")}) AS mn
+           |  FROM samp sp JOIN cb_i${c - 1} ct ON ct.blk = sp.blk
+           |  GROUP BY sp.blk, sp.vec_id, sp.s),
+           |pick_$c AS (SELECT blk, s FROM (SELECT blk, s,
+           |    row_number() OVER (PARTITION BY blk ORDER BY mn DESC, vec_id ASC) AS rn
+           |  FROM mn_$c) WHERE rn = 1),
+           |cb_i$c AS MATERIALIZED (SELECT * FROM cb_i${c - 1}
+           |  UNION ALL SELECT blk, $c AS k, s FROM pick_$c)""".stripMargin
+    }
+    var prev = s"cb_i${Codes - 1}"
+    for (it <- 1 to Iters) {
+      sb ++=
+        s""",
+           |asg_$it AS MATERIALIZED (SELECT blk, vec_id, s, k FROM (
+           |    SELECT sp.blk, sp.vec_id, sp.s, ct.k,
+           |      row_number() OVER (PARTITION BY sp.blk, sp.vec_id
+           |        ORDER BY ${d2("ct.s", "sp.s")} ASC, ct.k ASC) AS rn
+           |    FROM samp sp JOIN $prev ct ON ct.blk = sp.blk) WHERE rn = 1),
+           |mean_$it AS (SELECT a.blk, a.k, d.i,
+           |    list_reduce(list(a.s[d.i + 1] ORDER BY a.vec_id), (x, y) -> x + y) / count(*) AS v
+           |  FROM asg_$it a CROSS JOIN dims d GROUP BY a.blk, a.k, d.i),
+           |newc_$it AS (SELECT blk, k, list(v ORDER BY i) AS s FROM mean_$it GROUP BY blk, k),
+           |cb_l$it AS MATERIALIZED (SELECT p.blk, p.k, coalesce(n.s, p.s) AS s
+           |  FROM $prev p LEFT JOIN newc_$it n ON n.blk = p.blk AND n.k = p.k)""".stripMargin
+      prev = s"cb_l$it"
+    }
+    sb ++=
+      s""",
+         |enc AS MATERIALIZED (SELECT blk, vec_id, k FROM (
+         |    SELECT sb.blk, sb.vec_id, ct.k,
+         |      row_number() OVER (PARTITION BY sb.blk, sb.vec_id
+         |        ORDER BY ${d2("ct.s", "sb.s")} ASC, ct.k ASC) AS rn
+         |    FROM sub sb JOIN $prev ct ON ct.blk = sb.blk) WHERE rn = 1),
+         |qd AS MATERIALIZED (SELECT q.vec_id AS query_id, ct.blk, ct.k,
+         |    ${d2("ct.s", "q.s")} AS d2
+         |  FROM sub q JOIN $prev ct ON ct.blk = q.blk
+         |  WHERE q.vec_id IN (0, 1, 2, 3, 4)),
+         |scored AS (SELECT qd.query_id, e.vec_id AS neighbor_id,
+         |    round(list_reduce(list(qd.d2 ORDER BY qd.blk), (x, y) -> x + y), 6) AS approx_d2
+         |  FROM enc e JOIN qd ON qd.blk = e.blk AND qd.k = e.k
+         |  WHERE e.vec_id <> qd.query_id
+         |  GROUP BY qd.query_id, e.vec_id),
+         |rr AS (SELECT query_id, neighbor_id, approx_d2,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx_d2 ASC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, approx_d2, rank FROM rr WHERE rank <= 10""".stripMargin
+    sb.toString
+  }
+
   private def embedDupsLshOracle(threshold: Double): String =
     s"""$lshSigsCte,
        |pairs AS (
@@ -770,6 +868,7 @@ object SparkEntry {
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_ivf_trained" -> annIvfTrainedOracle,
+    "q_ann_pq" -> annPqOracle,
     // the indexed path serves the SAME computation from the materialized
     // cell-partitioned table — identical centroids, probes, and re-rank
     "q_ann_ivf_indexed" -> annIvfTrainedOracle,

@@ -128,6 +128,67 @@ object VecFunctions {
     math.rint(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
   }
 
+  /**
+   * Round-6 SQUARED Euclidean distance via the dot-product identity
+   * `d² = a·a − 2·a·b + b·b`, each dot a sequential fold — chosen over the
+   * direct `Σ(aᵢ−bᵢ)²` because `list_dot_product` is the DuckDB kernel with
+   * PROVEN bit-parity to a Scala sequential fold, so the oracle expression
+   * `round(list_dot_product(a,a) - 2*list_dot_product(a,b) +
+   * list_dot_product(b,b), 6)` reproduces this value exactly (same
+   * left-associated `−`/`+` grouping, each op exactly rounded). The PQ
+   * training/encode/ADC kernels all rank on this. Argument order is pinned:
+   * centroid FIRST, everywhere, in both engines.
+   */
+  def d2Round6(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var daa = 0.0; var dab = 0.0; var dbb = 0.0
+    var i = 0
+    while (i < n) { daa += a(i) * a(i); dab += a(i) * b(i); dbb += b(i) * b(i); i += 1 }
+    math.rint((daa - 2.0 * dab + dbb) * 1e6) / 1e6
+  }
+
+  /**
+   * Product-quantization codes: for each of the `codebooks.length` blocks,
+   * the index of the sub-codebook centroid nearest (round-6 squared L2,
+   * ties to the lowest code) to the vector's sub-block. Fold order and
+   * rounding mirror [[d2Round6]] exactly; `dbb` (the sub-vector's own
+   * self-dot) is computed once per block — folds are independent, so the
+   * factoring is bit-identical to per-centroid recomputation.
+   */
+  def pqCodesFor(v: ArrayData, codebooks: Array[Array[Array[Double]]]): ArrayData = {
+    val blocks = codebooks.length
+    val out = new Array[Int](blocks)
+    var m = 0
+    var off = 0
+    while (m < blocks) {
+      val cb = codebooks(m)
+      val sub = cb(0).length
+      var dbb = 0.0
+      var j = 0
+      while (j < sub) { val x = v.getFloat(off + j).toDouble; dbb += x * x; j += 1 }
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var k = 0
+      while (k < cb.length) {
+        val ct = cb(k)
+        var daa = 0.0; var dab = 0.0
+        j = 0
+        while (j < sub) {
+          daa += ct(j) * ct(j)
+          dab += ct(j) * v.getFloat(off + j)
+          j += 1
+        }
+        val d = math.rint((daa - 2.0 * dab + dbb) * 1e6) / 1e6
+        if (d < bestD) { bestD = d; best = k }
+        k += 1
+      }
+      out(m) = best
+      off += sub
+      m += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   private val eu = org.apache.spark.sql.graftbridge.ColumnBridge
 
   /** Cosine similarity of two `array<float>` columns — native, codegen'd. */
@@ -145,6 +206,10 @@ object VecFunctions {
   /** Same, against EXPLICIT (trained) centroids instead of seeded ones. */
   def ivf_cells_trained(v: Column, cents: Seq[Seq[Double]], nProbe: Int): Column =
     eu.column(IvfCellsTrained(eu.expression(v), cents, nProbe))
+
+  /** Per-block PQ code assignment for an `array<float>` column — native, codegen'd. */
+  def pq_codes(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    eu.column(PqCodes(eu.expression(v), codebooks))
 }
 
 /** Cosine similarity of two float-array columns — native codegen'd expression. */
@@ -206,6 +271,26 @@ case class IvfCellsTrained(child: Expression, cents: Seq[Seq[Double]], nProbe: I
     defineCodeGen(ctx, ev, c => s"graft.functions.VecFunctions.ivfCellsFor($c, $ref, $nProbe)")
   }
   override protected def withNewChildInternal(newChild: Expression): IvfCellsTrained =
+    copy(child = newChild)
+}
+
+/** Product-quantization encode against an explicit per-block codebook table
+  * ([[graft.ops.Pq.trainCodebooks]]) — nearest sub-centroid per block by
+  * round-6 squared L2, ties to the lowest code. Seq form keeps the
+  * expression a value-comparable case class; the array form is memoized. */
+case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  override protected def nullSafeEval(v: Any): Any =
+    VecFunctions.pqCodesFor(v.asInstanceOf[ArrayData], cbArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", cbArr, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecFunctions.pqCodesFor($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
     copy(child = newChild)
 }
 

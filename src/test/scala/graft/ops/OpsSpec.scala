@@ -321,6 +321,59 @@ class OpsSpec extends AnyFunSuite {
     assert(Ann.ivfIndexStats(spark, retrained).appended == 0L)
   }
 
+  test("PQ: codes are in range, deterministic, and ADC matches a manual recomputation") {
+    import graft.functions.VecFunctions.d2Round6
+    val cbs = Pq.trainCodebooks(embeddings)
+    assert(cbs.length == Pq.Blocks && cbs.forall(_.length == Pq.Codes) &&
+      cbs.forall(_.forall(_.length == Pq.SubDim)))
+    val cbSeq: Seq[Seq[Seq[Double]]] = cbs.toSeq.map(_.toSeq.map(_.toSeq))
+    val codes = Pq.encode(embeddings, cbSeq).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(cs => cs.length == Pq.Blocks && cs.forall(c => c >= 0 && c < Pq.Codes)))
+    // re-run training: bit-identical codebooks (no RNG anywhere)
+    val cbs2 = Pq.trainCodebooks(embeddings)
+    assert(cbs.zip(cbs2).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+    // ADC score for one (query, vector) pair == manual table-lookup sum
+    val res = Pq.adcTopK(embeddings, Seq(0L), 5, cbSeq).collect()
+    assert(res.length == 5 && res.forall(_.getLong(0) == 0L))
+    val q = embeddings.where(col("vec_id") === 0L).collect()(0)
+      .getSeq[Float](1).toArray.map(_.toDouble)
+    val top = res.minBy(_.getLong(3))
+    val nb = top.getLong(1)
+    val expected = (0 until Pq.Blocks).foldLeft(0.0) { (acc, m) =>
+      val sub = java.util.Arrays.copyOfRange(q, m * Pq.SubDim, (m + 1) * Pq.SubDim)
+      acc + d2Round6(cbs(m)(codes(nb)(m)), sub)
+    }
+    assert(top.getDouble(2) == math.rint(expected * 1e6) / 1e6)
+    // approx distances are ranked ascending with vec_id ties
+    val sorted = res.sortBy(_.getLong(3))
+    assert(sorted.sliding(2).forall { case Array(a, b) =>
+      a.getDouble(2) < b.getDouble(2) ||
+        (a.getDouble(2) == b.getDouble(2) && a.getLong(1) < b.getLong(1)) })
+  }
+
+  test("PQ ADC recall@10 vs brute force on real embeddings") {
+    // random 64-dim vectors are PQ's worst case (no cluster structure to
+    // exploit; 32-bit codes); the bar is an honest floor measured on this
+    // corpus, not a claim of production recall — real embedding spaces
+    // cluster and quantize far better (and production raises Codes/Blocks)
+    val cbSeq: Seq[Seq[Seq[Double]]] =
+      Pq.trainCodebooks(embeddings).toSeq.map(_.toSeq.map(_.toSeq))
+    val queryIds = (0L until 100L).toSeq
+    val brute = Ann.bruteForceTopK(embeddings, queryIds, 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val pq = Pq.adcTopK(embeddings, queryIds, 10, cbSeq).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = queryIds.map { q =>
+      val b = brute(q)
+      pq.get(q).map(l => (l intersect b).size.toDouble / b.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ ADC mean recall@10 over ${queryIds.size} queries: $mean%.3f")
+    assert(mean >= 0.15, s"mean recall $mean")
+  }
+
   test("IVF training is deterministic (same centroids on re-run)") {
     val c1 = Ann.trainIvfCentroids(embeddings)
     val c2 = Ann.trainIvfCentroids(embeddings)

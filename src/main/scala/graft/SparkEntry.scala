@@ -341,6 +341,21 @@ object SparkEntry {
       Pq.adcTopK(emb, Seq(0L, 1L, 2L, 3L, 4L), 10, cbs)
     }),
 
+    // ---- IVFPQ: the composed production layout — trained IVF cells as the
+    // physical partition key (probes prune directories), PQ codes as the
+    // row payload (the index holds NO raw embeddings)
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val (_, cents) = ivfIndex(s, dir) // memoized trained coarse quantizer
+      val cbs: Seq[Seq[Seq[Double]]] =
+        Pq.trainCodebooks(emb).toSeq.map(_.toSeq.map(_.toSeq))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq")
+      tmp.toFile.deleteOnExit()
+      val path = tmp.toString + "/index"
+      Pq.writeIvfPqIndex(emb, path, cents, cbs)
+      Pq.ivfPqTopK(s, path, emb, Seq(0L, 1L, 2L, 3L, 4L), 10, cents, cbs)
+    }),
+
     // ---- embedding near-dup blocked by the LSH index itself (no label needed)
     "q_embed_dups_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDupsLsh(table(s, dir, "embeddings"), 0.3)),
@@ -707,59 +722,72 @@ object SparkEntry {
    * CTEs in the chain are MATERIALIZED: DuckDB inlines plain CTEs per
    * reference, which is exponential in a 10-step greedy chain.
    */
-  private def annIvfTrainedOracle: String = {
-    import graft.ops.Ann.{IvfTrainIters, IvfTrainSample, IvfTrainedCells, IvfTrainedProbes}
+  /** Trained-IVF centroid-derivation chain, every CTE name `$p`-prefixed so
+    * two chains can coexist in one WITH (the IVFPQ oracle). Requires a
+    * `vecs` CTE. Returns (chainSql, finalCentroidsCteName). */
+  private def ivfTrainedChainSql(p: String): (String, String) = {
+    import graft.ops.Ann.{IvfTrainIters, IvfTrainSample, IvfTrainedCells}
     val sb = new StringBuilder
     sb ++=
-      s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |dims AS (SELECT unnest(range(${graft.ops.Ann.DefaultDim})) AS i),
-         |samp AS MATERIALIZED (SELECT vec_id,
+      s"""${p}dims AS (SELECT unnest(range(${graft.ops.Ann.DefaultDim})) AS i),
+         |${p}samp AS MATERIALIZED (SELECT vec_id,
          |    list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS s
          |  FROM vecs WHERE vec_id < $IvfTrainSample),
-         |cents_i0 AS MATERIALIZED (SELECT 0 AS cell, s FROM samp WHERE vec_id = (SELECT min(vec_id) FROM samp))""".stripMargin
+         |${p}cents_i0 AS MATERIALIZED (SELECT 0 AS cell, s FROM ${p}samp WHERE vec_id = (SELECT min(vec_id) FROM ${p}samp))""".stripMargin
     for (c <- 1 until IvfTrainedCells) {
       sb ++=
         s""",
-           |mx_$c AS (SELECT sp.vec_id, sp.s, max(round(list_cosine_similarity(ct.s, sp.s), 6)) AS mx
-           |  FROM samp sp CROSS JOIN cents_i${c - 1} ct GROUP BY sp.vec_id, sp.s),
-           |pick_$c AS (SELECT s FROM (SELECT s, row_number() OVER (ORDER BY mx ASC, vec_id ASC) AS rn FROM mx_$c) WHERE rn = 1),
-           |cents_i$c AS MATERIALIZED (SELECT * FROM cents_i${c - 1} UNION ALL SELECT $c AS cell, s FROM pick_$c)""".stripMargin
+           |${p}mx_$c AS (SELECT sp.vec_id, sp.s, max(round(list_cosine_similarity(ct.s, sp.s), 6)) AS mx
+           |  FROM ${p}samp sp CROSS JOIN ${p}cents_i${c - 1} ct GROUP BY sp.vec_id, sp.s),
+           |${p}pick_$c AS (SELECT s FROM (SELECT s, row_number() OVER (ORDER BY mx ASC, vec_id ASC) AS rn FROM ${p}mx_$c) WHERE rn = 1),
+           |${p}cents_i$c AS MATERIALIZED (SELECT * FROM ${p}cents_i${c - 1} UNION ALL SELECT $c AS cell, s FROM ${p}pick_$c)""".stripMargin
     }
-    var prev = s"cents_i${IvfTrainedCells - 1}"
+    var prev = s"${p}cents_i${IvfTrainedCells - 1}"
     for (it <- 1 to IvfTrainIters) {
       sb ++=
         s""",
-           |asg_$it AS MATERIALIZED (SELECT vec_id, s, cell FROM (
+           |${p}asg_$it AS MATERIALIZED (SELECT vec_id, s, cell FROM (
            |    SELECT sp.vec_id, sp.s, ct.cell,
            |      row_number() OVER (PARTITION BY sp.vec_id
            |        ORDER BY round(list_cosine_similarity(ct.s, sp.s), 6) DESC, ct.cell ASC) AS rn
-           |    FROM samp sp CROSS JOIN $prev ct) WHERE rn = 1),
-           |mean_$it AS (SELECT a.cell, d.i,
+           |    FROM ${p}samp sp CROSS JOIN $prev ct) WHERE rn = 1),
+           |${p}mean_$it AS (SELECT a.cell, d.i,
            |    list_reduce(list(a.s[d.i + 1] ORDER BY a.vec_id), (x, y) -> x + y) / count(*) AS v
-           |  FROM asg_$it a CROSS JOIN dims d GROUP BY a.cell, d.i),
-           |newc_$it AS (SELECT cell, list(v ORDER BY i) AS s FROM mean_$it GROUP BY cell),
-           |cents_l$it AS MATERIALIZED (SELECT p.cell, coalesce(n.s, p.s) AS s
-           |  FROM $prev p LEFT JOIN newc_$it n ON n.cell = p.cell)""".stripMargin
-      prev = s"cents_l$it"
+           |  FROM ${p}asg_$it a CROSS JOIN ${p}dims d GROUP BY a.cell, d.i),
+           |${p}newc_$it AS (SELECT cell, list(v ORDER BY i) AS s FROM ${p}mean_$it GROUP BY cell),
+           |${p}cents_l$it AS MATERIALIZED (SELECT p.cell, coalesce(n.s, p.s) AS s
+           |  FROM $prev p LEFT JOIN ${p}newc_$it n ON n.cell = p.cell)""".stripMargin
+      prev = s"${p}cents_l$it"
     }
-    sb ++=
-      s""",
-         |cellscore AS (SELECT v.vec_id, ct.cell, round(list_cosine_similarity(ct.s, v.e), 6) AS cc
-         |  FROM vecs v CROSS JOIN $prev ct),
-         |ranked AS (SELECT vec_id, cell,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS r FROM cellscore),
-         |corpus AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
-         |probes AS (SELECT vec_id AS query_id, cell FROM ranked
-         |           WHERE r <= $IvfTrainedProbes AND vec_id IN (0, 1, 2, 3, 4)),
-         |cands AS (SELECT p.query_id, c.vec_id FROM probes p JOIN corpus c ON c.cell = p.cell
-         |  WHERE c.vec_id <> p.query_id),
-         |scored AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
-         |    round(list_cosine_similarity(q.e, v.e), 6) AS cos
-         |  FROM cands cd JOIN vecs q ON q.vec_id = cd.query_id JOIN vecs v ON v.vec_id = cd.vec_id),
-         |rr AS (SELECT query_id, neighbor_id, cos,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
-         |SELECT query_id, neighbor_id, cos, rank FROM rr WHERE rank <= 10""".stripMargin
-    sb.toString
+    (sb.toString, prev)
+  }
+
+  /** Round-6 cell assignment + query probes over a centroids CTE —
+    * `${p}corpus` (vec_id, cell) and `${p}probes` (query_id, cell). */
+  private def ivfCellAssignSql(p: String, centsCte: String, nProbe: Int,
+                               queryIdList: String): String =
+    s"""${p}cellscore AS (SELECT v.vec_id, ct.cell, round(list_cosine_similarity(ct.s, v.e), 6) AS cc
+       |  FROM vecs v CROSS JOIN $centsCte ct),
+       |${p}ranked AS (SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS r FROM ${p}cellscore),
+       |${p}corpus AS (SELECT vec_id, cell FROM ${p}ranked WHERE r = 1),
+       |${p}probes AS (SELECT vec_id AS query_id, cell FROM ${p}ranked
+       |           WHERE r <= $nProbe AND vec_id IN ($queryIdList))""".stripMargin
+
+  private def annIvfTrainedOracle: String = {
+    import graft.ops.Ann.IvfTrainedProbes
+    val (chain, cents) = ivfTrainedChainSql("")
+    s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$chain,
+       |${ivfCellAssignSql("", cents, IvfTrainedProbes, "0, 1, 2, 3, 4")},
+       |cands AS (SELECT p.query_id, c.vec_id FROM probes p JOIN corpus c ON c.cell = p.cell
+       |  WHERE c.vec_id <> p.query_id),
+       |scored AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(q.e, v.e), 6) AS cos
+       |  FROM cands cd JOIN vecs q ON q.vec_id = cd.query_id JOIN vecs v ON v.vec_id = cd.vec_id),
+       |rr AS (SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, cos, rank FROM rr WHERE rank <= 10""".stripMargin
   }
 
   /**
@@ -783,71 +811,105 @@ object SparkEntry {
    * rides through every CTE). All chain CTEs are MATERIALIZED — DuckDB
    * inlines plain CTEs, which is exponential in a 15-step chain.
    */
-  private def annPqOracle: String = {
+  /** PQ codebook-derivation + encode + query-distance-table chain, every
+    * CTE name `$p`-prefixed (composable with the IVF chain in one WITH).
+    * Requires a `vecs` CTE. Final CTEs: `${p}enc` (blk, vec_id, k) and
+    * `${p}qd` (query_id, blk, k, d2). */
+  private def pqChainSql(p: String, queryIdList: String): String = {
     import graft.ops.Pq.{Blocks, Codes, Iters, SubDim, TrainSample}
     def d2(a: String, b: String): String =
       s"round(list_dot_product($a, $a) - 2*list_dot_product($a, $b) + list_dot_product($b, $b), 6)"
     val sb = new StringBuilder
     sb ++=
-      s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |blocks AS (SELECT unnest(range($Blocks)) AS blk),
-         |dims AS (SELECT unnest(range($SubDim)) AS i),
-         |sub AS MATERIALIZED (SELECT v.vec_id, b.blk,
+      s"""${p}blocks AS (SELECT unnest(range($Blocks)) AS blk),
+         |${p}bdims AS (SELECT unnest(range($SubDim)) AS i),
+         |${p}sub AS MATERIALIZED (SELECT v.vec_id, b.blk,
          |    list_slice(v.e, b.blk * $SubDim + 1, b.blk * $SubDim + $SubDim) AS s
-         |  FROM vecs v CROSS JOIN blocks b),
-         |samp AS MATERIALIZED (SELECT vec_id, blk, s FROM sub WHERE vec_id < $TrainSample),
-         |cb_i0 AS MATERIALIZED (SELECT blk, 0 AS k, s FROM samp
-         |  WHERE vec_id = (SELECT min(vec_id) FROM samp))""".stripMargin
+         |  FROM vecs v CROSS JOIN ${p}blocks b),
+         |${p}bsamp AS MATERIALIZED (SELECT vec_id, blk, s FROM ${p}sub WHERE vec_id < $TrainSample),
+         |${p}cb_i0 AS MATERIALIZED (SELECT blk, 0 AS k, s FROM ${p}bsamp
+         |  WHERE vec_id = (SELECT min(vec_id) FROM ${p}bsamp))""".stripMargin
     for (c <- 1 until Codes) {
       sb ++=
         s""",
-           |mn_$c AS (SELECT sp.blk, sp.vec_id, sp.s, min(${d2("ct.s", "sp.s")}) AS mn
-           |  FROM samp sp JOIN cb_i${c - 1} ct ON ct.blk = sp.blk
+           |${p}mn_$c AS (SELECT sp.blk, sp.vec_id, sp.s, min(${d2("ct.s", "sp.s")}) AS mn
+           |  FROM ${p}bsamp sp JOIN ${p}cb_i${c - 1} ct ON ct.blk = sp.blk
            |  GROUP BY sp.blk, sp.vec_id, sp.s),
-           |pick_$c AS (SELECT blk, s FROM (SELECT blk, s,
+           |${p}bpick_$c AS (SELECT blk, s FROM (SELECT blk, s,
            |    row_number() OVER (PARTITION BY blk ORDER BY mn DESC, vec_id ASC) AS rn
-           |  FROM mn_$c) WHERE rn = 1),
-           |cb_i$c AS MATERIALIZED (SELECT * FROM cb_i${c - 1}
-           |  UNION ALL SELECT blk, $c AS k, s FROM pick_$c)""".stripMargin
+           |  FROM ${p}mn_$c) WHERE rn = 1),
+           |${p}cb_i$c AS MATERIALIZED (SELECT * FROM ${p}cb_i${c - 1}
+           |  UNION ALL SELECT blk, $c AS k, s FROM ${p}bpick_$c)""".stripMargin
     }
-    var prev = s"cb_i${Codes - 1}"
+    var prev = s"${p}cb_i${Codes - 1}"
     for (it <- 1 to Iters) {
       sb ++=
         s""",
-           |asg_$it AS MATERIALIZED (SELECT blk, vec_id, s, k FROM (
+           |${p}basg_$it AS MATERIALIZED (SELECT blk, vec_id, s, k FROM (
            |    SELECT sp.blk, sp.vec_id, sp.s, ct.k,
            |      row_number() OVER (PARTITION BY sp.blk, sp.vec_id
            |        ORDER BY ${d2("ct.s", "sp.s")} ASC, ct.k ASC) AS rn
-           |    FROM samp sp JOIN $prev ct ON ct.blk = sp.blk) WHERE rn = 1),
-           |mean_$it AS (SELECT a.blk, a.k, d.i,
+           |    FROM ${p}bsamp sp JOIN $prev ct ON ct.blk = sp.blk) WHERE rn = 1),
+           |${p}bmean_$it AS (SELECT a.blk, a.k, d.i,
            |    list_reduce(list(a.s[d.i + 1] ORDER BY a.vec_id), (x, y) -> x + y) / count(*) AS v
-           |  FROM asg_$it a CROSS JOIN dims d GROUP BY a.blk, a.k, d.i),
-           |newc_$it AS (SELECT blk, k, list(v ORDER BY i) AS s FROM mean_$it GROUP BY blk, k),
-           |cb_l$it AS MATERIALIZED (SELECT p.blk, p.k, coalesce(n.s, p.s) AS s
-           |  FROM $prev p LEFT JOIN newc_$it n ON n.blk = p.blk AND n.k = p.k)""".stripMargin
-      prev = s"cb_l$it"
+           |  FROM ${p}basg_$it a CROSS JOIN ${p}bdims d GROUP BY a.blk, a.k, d.i),
+           |${p}bnewc_$it AS (SELECT blk, k, list(v ORDER BY i) AS s FROM ${p}bmean_$it GROUP BY blk, k),
+           |${p}cb_l$it AS MATERIALIZED (SELECT p.blk, p.k, coalesce(n.s, p.s) AS s
+           |  FROM $prev p LEFT JOIN ${p}bnewc_$it n ON n.blk = p.blk AND n.k = p.k)""".stripMargin
+      prev = s"${p}cb_l$it"
     }
     sb ++=
       s""",
-         |enc AS MATERIALIZED (SELECT blk, vec_id, k FROM (
+         |${p}enc AS MATERIALIZED (SELECT blk, vec_id, k FROM (
          |    SELECT sb.blk, sb.vec_id, ct.k,
          |      row_number() OVER (PARTITION BY sb.blk, sb.vec_id
          |        ORDER BY ${d2("ct.s", "sb.s")} ASC, ct.k ASC) AS rn
-         |    FROM sub sb JOIN $prev ct ON ct.blk = sb.blk) WHERE rn = 1),
-         |qd AS MATERIALIZED (SELECT q.vec_id AS query_id, ct.blk, ct.k,
+         |    FROM ${p}sub sb JOIN $prev ct ON ct.blk = sb.blk) WHERE rn = 1),
+         |${p}qd AS MATERIALIZED (SELECT q.vec_id AS query_id, ct.blk, ct.k,
          |    ${d2("ct.s", "q.s")} AS d2
-         |  FROM sub q JOIN $prev ct ON ct.blk = q.blk
-         |  WHERE q.vec_id IN (0, 1, 2, 3, 4)),
-         |scored AS (SELECT qd.query_id, e.vec_id AS neighbor_id,
-         |    round(list_reduce(list(qd.d2 ORDER BY qd.blk), (x, y) -> x + y), 6) AS approx_d2
-         |  FROM enc e JOIN qd ON qd.blk = e.blk AND qd.k = e.k
-         |  WHERE e.vec_id <> qd.query_id
-         |  GROUP BY qd.query_id, e.vec_id),
-         |rr AS (SELECT query_id, neighbor_id, approx_d2,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY approx_d2 ASC, neighbor_id) AS rank FROM scored)
-         |SELECT query_id, neighbor_id, approx_d2, rank FROM rr WHERE rank <= 10""".stripMargin
+         |  FROM ${p}sub q JOIN $prev ct ON ct.blk = q.blk
+         |  WHERE q.vec_id IN ($queryIdList))""".stripMargin
     sb.toString
+  }
+
+  private def annPqOracle: String =
+    s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |${pqChainSql("", "0, 1, 2, 3, 4")},
+       |scored AS (SELECT qd.query_id, e.vec_id AS neighbor_id,
+       |    round(list_reduce(list(qd.d2 ORDER BY qd.blk), (x, y) -> x + y), 6) AS approx_d2
+       |  FROM enc e JOIN qd ON qd.blk = e.blk AND qd.k = e.k
+       |  WHERE e.vec_id <> qd.query_id
+       |  GROUP BY qd.query_id, e.vec_id),
+       |rr AS (SELECT query_id, neighbor_id, approx_d2,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx_d2 ASC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, approx_d2, rank FROM rr WHERE rank <= 10""".stripMargin
+
+  /**
+   * IVFPQ oracle — the composed production layout: the trained-IVF chain
+   * (prefix `iv_`) supplies cell assignments + probed cells, the PQ chain
+   * (prefix `pq_`) supplies codes + query distance tables; candidates are
+   * the probed-cell members, scored by the same block-ordered ADC fold.
+   */
+  private def annIvfPqOracle: String = {
+    import graft.ops.Ann.IvfTrainedProbes
+    val (ivChain, ivCents) = ivfTrainedChainSql("iv_")
+    s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$ivChain,
+       |${ivfCellAssignSql("iv_", ivCents, IvfTrainedProbes, "0, 1, 2, 3, 4")},
+       |${pqChainSql("pq_", "0, 1, 2, 3, 4")},
+       |cands AS (SELECT p.query_id, c.vec_id FROM iv_probes p JOIN iv_corpus c ON c.cell = p.cell
+       |  WHERE c.vec_id <> p.query_id),
+       |scored AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
+       |    round(list_reduce(list(qd.d2 ORDER BY qd.blk), (x, y) -> x + y), 6) AS approx_d2
+       |  FROM cands cd
+       |  JOIN pq_enc e ON e.vec_id = cd.vec_id
+       |  JOIN pq_qd qd ON qd.query_id = cd.query_id AND qd.blk = e.blk AND qd.k = e.k
+       |  GROUP BY cd.query_id, cd.vec_id),
+       |rr AS (SELECT query_id, neighbor_id, approx_d2,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx_d2 ASC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, approx_d2, rank FROM rr WHERE rank <= 10""".stripMargin
   }
 
   private def embedDupsLshOracle(threshold: Double): String =
@@ -869,6 +931,7 @@ object SparkEntry {
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_ivf_trained" -> annIvfTrainedOracle,
     "q_ann_pq" -> annPqOracle,
+    "q_ann_ivfpq" -> annIvfPqOracle,
     // the indexed path serves the SAME computation from the materialized
     // cell-partitioned table — identical centroids, probes, and re-rank
     "q_ann_ivf_indexed" -> annIvfTrainedOracle,

@@ -155,4 +155,94 @@ object Pq {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("approx_d2"), col("rank").cast("long").as("rank"))
   }
+
+  // ------------------------------------------------------------------ IVFPQ
+
+  /**
+   * The composed billion-vector layout: IVF cell as the PHYSICAL partition
+   * key (probes prune to `nProbe` directories, as in
+   * [[Ann.ivfTopKIndexed]]) and PQ codes as the ROW payload — the index
+   * stores `vec_id + 8 codes (+ generation)` and NOT the raw embedding,
+   * which is the whole point: a 10^9 × 64-float corpus (256 GB raw)
+   * indexes in ~12 GB. Same `idx_gen` discipline as [[Ann.writeIvfIndex]]
+   * so the delta-append/maintenance story carries over.
+   */
+  def writeIvfPqIndex(embeddings: DataFrame, path: String,
+                      cents: Seq[Seq[Double]],
+                      codebooks: Seq[Seq[Seq[Double]]]): Unit = {
+    import graft.functions.VecFunctions.{ivf_cells_trained, pq_codes}
+    embeddings
+      .select(col("vec_id"),
+        pq_codes(col("embedding"), codebooks).as("codes"),
+        lit(0).as("idx_gen"),
+        element_at(ivf_cells_trained(col("embedding"), cents, 1), 1).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** [[Ann.appendIvfIndex]] for the IVFPQ layout: new vectors encoded with
+    * the FROZEN centroids + codebooks, appended as per-cell delta files. */
+  def appendIvfPqIndex(newVectors: DataFrame, path: String,
+                       cents: Seq[Seq[Double]],
+                       codebooks: Seq[Seq[Seq[Double]]]): Unit = {
+    import graft.functions.VecFunctions.{ivf_cells_trained, pq_codes}
+    newVectors
+      .select(col("vec_id"),
+        pq_codes(col("embedding"), codebooks).as("codes"),
+        lit(1).as("idx_gen"),
+        element_at(ivf_cells_trained(col("embedding"), cents, 1), 1).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
+  /**
+   * IVFPQ top-k served from the materialized index: the queries' probe
+   * cells land as a STATIC `cell IN (...)` partition filter (only the
+   * probed directories are listed or read), and scoring inside them is
+   * pure ADC — the per-(query, cell) broadcast rows carry the query's
+   * distance table, and each candidate costs `Blocks` array lookups. The
+   * exact-cosine re-rank of the plain IVF path is gone by design (the
+   * index has no raw vectors); production recalls the top candidates'
+   * raw vectors from the primary store when exactness matters.
+   */
+  def ivfPqTopK(spark: SparkSession, indexPath: String, embeddings: DataFrame,
+                queryIds: Seq[Long], k: Int,
+                cents: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+                nProbe: Int = Ann.IvfTrainedProbes): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VecFunctions.cosineRound6
+    val centArr = cents.map(_.toArray).toArray
+    val cbArr = codebooks.map(_.map(_.toArray).toArray).toArray
+    val queryVecs: Array[(Long, Array[Double])] = embeddings
+      .where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    // driver-side probe selection + distance tables (bounded: queries ×
+    // nProbe cells, queries × Blocks × Codes doubles) — the same round-6
+    // cosine ranking as the ivf_cells_trained kernel, ties to lowest cell
+    val probeRows: Seq[(Long, Int, Seq[Seq[Double]])] = queryVecs.toSeq.flatMap {
+      case (qid, qv) =>
+        val cellRank = centArr.indices
+          .sortBy(c => (-cosineRound6(centArr(c), qv), c)).take(nProbe)
+        val dtable: Seq[Seq[Double]] = (0 until Blocks).map { m =>
+          val sub = java.util.Arrays.copyOfRange(qv, m * SubDim, (m + 1) * SubDim)
+          cbArr(m).toSeq.map(cent => d2Round6(cent, sub))
+        }
+        cellRank.map(c => (qid, c, dtable))
+    }
+    val qdf = probeRows.toDF("query_id", "cell", "dtable")
+    val probeCells = probeRows.map(_._2).distinct.sorted
+    val corpus = spark.read.parquet(indexPath)
+      .where(col("cell").isin(probeCells: _*))
+    val approx = aggregate(sequence(lit(0), lit(Blocks - 1)), lit(0.0),
+      (acc, m) => acc + element_at(element_at(col("dtable"), m + 1),
+        element_at(col("codes"), m + 1) + 1))
+    val w = Window.partitionBy("query_id").orderBy(col("approx_d2").asc, col("vec_id"))
+    corpus.join(broadcast(qdf), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("approx_d2", round(approx, 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("approx_d2"), col("rank").cast("long").as("rank"))
+  }
 }

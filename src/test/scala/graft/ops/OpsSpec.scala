@@ -353,6 +353,33 @@ class OpsSpec extends AnyFunSuite {
         (a.getDouble(2) == b.getDouble(2) && a.getLong(1) < b.getLong(1)) })
   }
 
+  test("IVFPQ index: partition-pruned probes, no raw embeddings, append == rebuild") {
+    val cents = Ann.trainIvfCentroids(embeddings).map(_.toSeq).toSeq
+    val cbs: Seq[Seq[Seq[Double]]] =
+      Pq.trainCodebooks(embeddings).toSeq.map(_.toSeq.map(_.toSeq))
+    val tmp = java.nio.file.Files.createTempDirectory("graftivfpq")
+    val idx = tmp.toString + "/idx"
+    Pq.writeIvfPqIndex(embeddings, idx, cents, cbs)
+    // the index holds codes + generation, NOT raw embeddings (the memory story)
+    val schema = spark.read.parquet(idx).schema.fieldNames.toSet
+    assert(schema == Set("vec_id", "codes", "idx_gen", "cell"))
+    val queryIds = Seq(0L, 1L, 2L, 3L, 4L)
+    val res = Pq.ivfPqTopK(spark, idx, embeddings, queryIds, 10, cents, cbs)
+    val planStr = res.queryExecution.executedPlan.toString()
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*IN".r.findFirstIn(planStr).isDefined,
+      s"no cell IN (...) PartitionFilters on the IVFPQ scan:\n$planStr")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val full = asSet(res)
+    assert(full.size == 50)
+    // delta-append parity: index built on A then appended with B answers
+    // exactly like the full build (same frozen cents + codebooks)
+    val inc = tmp.toString + "/inc"
+    Pq.writeIvfPqIndex(embeddings.where(col("vec_id") % 2 === 0), inc, cents, cbs)
+    Pq.appendIvfPqIndex(embeddings.where(col("vec_id") % 2 =!= 0), inc, cents, cbs)
+    assert(asSet(Pq.ivfPqTopK(spark, inc, embeddings, queryIds, 10, cents, cbs)) == full)
+  }
+
   test("PQ ADC recall@10 vs brute force on real embeddings") {
     // random 64-dim vectors are PQ's worst case (no cluster structure to
     // exploit; 32-bit codes); the bar is an honest floor measured on this

@@ -419,7 +419,13 @@ object SparkEntry {
         .toDF().select(col("doc_id"), col("sample_idx"), col("sample_size"),
           col("sample_offset"), col("n_samples"), col("duration_ticks"),
           col("timescale"), col("width"), col("height"),
-          length(col("payload")).cast("long").as("payload_bytes"))))
+          length(col("payload")).cast("long").as("payload_bytes"))),
+
+    // ---- graph analytics OVER the constructed KG: fixed-iteration
+    // PageRank on the entity co-mention graph (ordered contribution folds,
+    // per-iteration round-6 — oracle-exact)
+    "q_kg_pagerank" -> ((s, dir) =>
+      GraphAnalytics.pageRank(GraphAnalytics.coMentionEdges(mentionsDf(s, dir)))))
 
   // ============================================================ oracle SQL
 
@@ -449,6 +455,46 @@ object SparkEntry {
        |  FROM turns t, gaz g
        |  WHERE instr(t.text, g.surface) > 0
        |)""".stripMargin
+
+  /**
+   * PageRank oracle: the damping constants are interpolated from the SAME
+   * Scala doubles the operator uses (`1.0 - 0.85` is NOT the double the
+   * literal `0.15` parses to — Double.toString round-trips exactly), each
+   * iteration's contribution sum folds incoming neighbors ordered by
+   * source id, and ranks round to 6 dp per iteration so drift cannot
+   * compound.
+   */
+  private def kgPagerankOracle: String = {
+    val damp = 0.85
+    val omd = java.lang.Double.toString(1.0 - damp)
+    val d = java.lang.Double.toString(damp)
+    val sb = new StringBuilder
+    sb ++=
+      s"""$mentionsCte,
+         |cm AS (SELECT DISTINCT conv_id, entity_id FROM mentions),
+         |ce AS (SELECT a.entity_id AS ea, b.entity_id AS eb
+         |  FROM cm a JOIN cm b ON a.conv_id = b.conv_id
+         |  WHERE a.entity_id < b.entity_id GROUP BY 1, 2),
+         |dir AS (SELECT ea AS src, eb AS dst FROM ce
+         |  UNION ALL SELECT eb AS src, ea AS dst FROM ce),
+         |deg AS (SELECT src, count(*) AS deg FROM dir GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |pr0 AS (SELECT src AS id, round(1.0 / (SELECT n FROM nn), 6) AS pr FROM deg)""".stripMargin
+    for (it <- 1 to 3) {
+      sb ++=
+        s""",
+           |pr$it AS (SELECT d.dst AS id,
+           |    round($omd / (SELECT n FROM nn) +
+           |      $d * list_reduce(list(p.pr / g.deg ORDER BY d.src), (x, y) -> x + y), 6) AS pr
+           |  FROM dir d JOIN pr${it - 1} p ON p.id = d.src JOIN deg g ON g.src = d.src
+           |  GROUP BY d.dst)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |SELECT p.id AS entity_id, g.deg::BIGINT AS degree, p.pr AS pagerank
+         |FROM pr3 p JOIN deg g ON g.src = p.id""".stripMargin
+    sb.toString
+  }
 
   /** Edges + recursive-CTE connected components, shared by several oracles. */
   private def canonicalCte: String =
@@ -939,6 +985,7 @@ object SparkEntry {
     "q_transcripts" -> Transcripts.oracleSql,
 
     "q_kg_mentions" -> mentionsSql,
+    "q_kg_pagerank" -> kgPagerankOracle,
 
     "q_kg_link_edges" ->
       s"""$mentionsCte

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph analytics over the CONSTRUCTED knowledge graph — the analysis
+ * layer a KG-construction engine feeds: entity co-mention edges, degree
+ * centrality, and a fixed-iteration PageRank. (The reference stops at
+ * serialization; these run on the extraction pipeline's own outputs.)
+ *
+ * Scale shape: PageRank is the canonical iterate-join-aggregate dataflow —
+ * each iteration shuffles the edge list once on `src` (to attach ranks and
+ * out-degrees) and once on `dst` (the contribution aggregate). At 10^8+
+ * entities both joins hash-partition on the entity key and AQE handles the
+ * celebrity-entity skew; iterations are UNROLLED to a fixed count (the
+ * production convergence loop checkpoints between iterations instead —
+ * lineage grows linearly and a 20-iteration chain of lazy plans would
+ * otherwise recompute everything each action).
+ *
+ * Determinism (oracle-exact): the per-node contribution sum is a float
+ * fold over incoming neighbors ORDERED BY source entity id (`aggregate`
+ * over an `array_sort(collect_list(...))` here, `list_reduce(list(x ORDER
+ * BY src))` in DuckDB), every division/multiply is exactly rounded in both
+ * engines, and each iteration's rank is rounded to 6 dp so cross-iteration
+ * drift cannot compound.
+ */
+object GraphAnalytics {
+
+  /** Undirected co-mention edges: entity pairs mentioned in the same
+    * conversation, `weight` = number of shared conversations. One distinct
+    * + a conv-keyed self-join (per-conversation entity cardinality is
+    * bounded by the gazetteer, so the join explodes locally) + one hash
+    * aggregate. */
+  def coMentionEdges(mentions: DataFrame): DataFrame = {
+    val m = mentions.select(col("conv_id"), col("entity_id")).distinct()
+    val a = m.select(col("conv_id"), col("entity_id").as("entity_a"))
+    val b = m.select(col("conv_id"), col("entity_id").as("entity_b"))
+    a.join(b, Seq("conv_id"))
+      .where(col("entity_a") < col("entity_b"))
+      .groupBy("entity_a", "entity_b")
+      .agg(count(lit(1)).as("weight"))
+  }
+
+  /**
+   * Fixed-iteration PageRank (damping `d`, `iters` unrolled iterations)
+   * over the undirected co-mention graph. Every node of the edge graph has
+   * degree ≥ 1 by construction (isolated entities never enter the edge
+   * list), so there is no dangling-mass term. Returns
+   * (entity_id, degree, pagerank).
+   */
+  def pageRank(edges: DataFrame, iters: Int = 3, d: Double = 0.85): DataFrame = {
+    val dir = edges.select(col("entity_a").as("src"), col("entity_b").as("dst"))
+      .unionByName(edges.select(col("entity_b").as("src"), col("entity_a").as("dst")))
+    val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
+    // node count rides the plan as a broadcast 1-row aggregate
+    val nn = deg.agg(count(lit(1)).as("n"))
+    var pr = deg.select(col("src").as("id"))
+      .crossJoin(broadcast(nn))
+      .select(col("id"), round(lit(1.0) / col("n"), 6).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = dir
+        .join(pr, dir("src") === pr("id")).drop("id")
+        .join(deg, Seq("src"))
+        .select(col("dst"), col("src"), (col("pr") / col("deg")).as("c"))
+      pr = contrib.groupBy("dst")
+        .agg(array_sort(collect_list(struct(col("src"), col("c")))).as("parts"))
+        .crossJoin(broadcast(nn))
+        .select(col("dst").as("id"),
+          round(lit(1.0 - d) / col("n") +
+            lit(d) * aggregate(col("parts"), lit(0.0),
+              (acc, x) => acc + x.getField("c")), 6).as("pr"))
+    }
+    pr.join(deg, pr("id") === deg("src"))
+      .select(col("id").as("entity_id"), col("deg").as("degree"),
+        col("pr").as("pagerank"))
+  }
+}

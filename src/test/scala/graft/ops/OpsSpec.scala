@@ -416,6 +416,33 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map(t => (t._1, t._2)).distinct.length == got.length)
   }
 
+  test("PageRank over a path graph matches a hand-computed fixpoint step") {
+    import spark.implicits._
+    // path graph A - B - C: after any number of iterations B (the hub)
+    // must outrank A and C, which stay symmetric
+    val edges = Seq(("A", "B", 1L), ("B", "C", 1L)).toDF("entity_a", "entity_b", "weight")
+    val got = GraphAnalytics.pageRank(edges).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set("A", "B", "C"))
+    assert(got("A") == got("C")) // symmetry: same degree, same rank
+    assert(got("B")._2 > got("A")._2) // hub outranks leaves
+    assert(got("B")._1 == 2L && got("A")._1 == 1L)
+    // independent recomputation of the 3-iteration, round-6 recurrence
+    val n = 3.0
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    var pa = r6(1.0 / n); var pb = pa; var pc = pa
+    for (_ <- 1 to 3) {
+      val (na, nb2, nc) = (
+        r6((1.0 - 0.85) / n + 0.85 * (pb / 2)),
+        r6((1.0 - 0.85) / n + 0.85 * (pa / 1 + pc / 1)),
+        r6((1.0 - 0.85) / n + 0.85 * (pb / 2)))
+      pa = na; pb = nb2; pc = nc
+    }
+    assert(got("A")._2 == pa && got("B")._2 == pb && got("C")._2 == pc)
+    // rank mass stays ~1 (sanity: no dangling leakage in this graph)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-3)
+  }
+
   test("retention cohorts match a hand-computed grid") {
     import spark.implicits._
     def ts(day: Int) = new java.sql.Timestamp(day * 86400000L)

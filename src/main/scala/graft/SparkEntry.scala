@@ -95,6 +95,15 @@ object SparkEntry {
       Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs(s, dir)))
     }
 
+  // Co-mention edge list: PageRank references it 2× per unrolled iteration
+  // and triangles ~5× — without materialization each reference recomputes
+  // the conv-keyed self-join (measured 12.6 s -> ~1 s for q_kg_pagerank at
+  // sf0.1). A production run materializes the edge table between stages.
+  private def coEdgesDf(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "co_edges") {
+      GraphAnalytics.coMentionEdges(mentionsDf(s, dir))
+    }
+
   // Materialized IVF index (trained centroids + cell-partitioned corpus
   // table): built once per (session, sf) like the other stage artifacts.
   // memo keyed by the session OBJECT in a WeakHashMap (identityHashCode can
@@ -298,6 +307,24 @@ object SparkEntry {
     "q_retention" -> ((s, dir) =>
       Sessionize.retentionCohorts(table(s, dir, "events"))),
 
+    // ---- as-of join: each purchase joined to the latest at-or-before
+    // click of the same user — union-merge + ONE keyed window sweep, no
+    // range join (see AsOf scaladoc)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"),
+          col("value"), col("event_type"))
+      val purchases = ev.where(col("event_type") === "purchase").drop("event_type")
+      val clicks = ev.where(col("event_type") === "click").drop("event_type")
+      AsOf.asofJoin(purchases, clicks, "user_id", "tus", "event_id", Seq("tus", "value"))
+        .select(col("user_id"), col("event_id"), col("tus").as("purchase_us"),
+          col("value").as("purchase_value"),
+          coalesce(col("asof.tus"), lit(0L)).as("last_click_us"),
+          coalesce(col("asof.value"), lit(0.0)).as("click_value"),
+          coalesce(col("tus") - col("asof.tus"), lit(-1L)).as("gap_us"))
+    }),
+
     "q_embed_dups" -> ((s, dir) =>
       Dedup.embeddingNearDups(table(s, dir, "embeddings"), 0.4)),
 
@@ -381,6 +408,16 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
 
+    // ---- Okapi BM25 relevance ranking against a term query (term-ordered
+    // contribution fold; df/corpus stats ride the plan as broadcasts)
+    "q_bm25" -> ((s, dir) =>
+      Ranking.bm25(docs(s, dir), Bm25Terms)),
+
+    // ---- per-document TF-IDF keyword extraction (top-3 terms, rounded-
+    // score ranking with term tiebreak -> WindowGroupLimit top-k)
+    "q_tfidf" -> ((s, dir) =>
+      Ranking.tfIdfTopTerms(docs(s, dir), 3)),
+
     // ---- benchmark-contamination detection: doc 5-grams vs the eval-set
     // n-gram set (deterministic stand-in eval set: doc_id % 97 == 0)
     "q_contamination" -> ((s, dir) =>
@@ -425,7 +462,16 @@ object SparkEntry {
     // PageRank on the entity co-mention graph (ordered contribution folds,
     // per-iteration round-6 — oracle-exact)
     "q_kg_pagerank" -> ((s, dir) =>
-      GraphAnalytics.pageRank(GraphAnalytics.coMentionEdges(mentionsDf(s, dir)))))
+      GraphAnalytics.pageRank(coEdgesDf(s, dir))),
+
+    // ---- per-entity triangle count + clustering coefficient over the
+    // co-mention graph (degree-ordered orientation — the scalable
+    // enumeration; each triangle found exactly once)
+    "q_kg_triangles" -> ((s, dir) =>
+      GraphAnalytics.triangles(coEdgesDf(s, dir))))
+
+  /** Fixed BM25 query terms (drawn from the synthetic corpus vocabulary). */
+  private val Bm25Terms = Seq("spark", "merge", "window")
 
   // ============================================================ oracle SQL
 
@@ -494,6 +540,70 @@ object SparkEntry {
          |SELECT p.id AS entity_id, g.deg::BIGINT AS degree, p.pr AS pagerank
          |FROM pr3 p JOIN deg g ON g.src = p.id""".stripMargin
     sb.toString
+  }
+
+  /** Triangle-count oracle: the same degree-ordered orientation in SQL —
+    * tuple comparisons `(deg, id) < (deg, id)` mirror the operator's
+    * struct comparisons, so each triangle closes exactly once on both
+    * sides; clustering divides exact integers, rounded to 6 dp. */
+  private def kgTrianglesOracle: String =
+    s"""$mentionsCte,
+       |cm AS (SELECT DISTINCT conv_id, entity_id FROM mentions),
+       |ce AS (SELECT a.entity_id AS ea, b.entity_id AS eb
+       |  FROM cm a JOIN cm b ON a.conv_id = b.conv_id
+       |  WHERE a.entity_id < b.entity_id GROUP BY 1, 2),
+       |deg AS (SELECT u, count(*) AS deg FROM (
+       |  SELECT ea AS u FROM ce UNION ALL SELECT eb FROM ce) GROUP BY 1),
+       |ori AS (
+       |  SELECT CASE WHEN (da.deg, ea) < (db.deg, eb) THEN ea ELSE eb END AS u,
+       |         CASE WHEN (da.deg, ea) < (db.deg, eb) THEN eb ELSE ea END AS v
+       |  FROM ce JOIN deg da ON da.u = ea JOIN deg db ON db.u = eb),
+       |orid AS (SELECT ori.u, ori.v, deg.deg AS dv FROM ori JOIN deg ON deg.u = ori.v),
+       |tris AS (
+       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM orid e1 JOIN orid e2 ON e1.u = e2.u
+       |  WHERE (e1.dv, e1.v) < (e2.dv, e2.v)
+       |    AND EXISTS (SELECT 1 FROM ori e3 WHERE e3.u = e1.v AND e3.v = e2.v)),
+       |pern AS (SELECT x AS id, count(*) AS n_triangles FROM (
+       |  SELECT a AS x FROM tris UNION ALL SELECT b FROM tris
+       |  UNION ALL SELECT c FROM tris) GROUP BY 1)
+       |SELECT deg.u AS entity_id, deg.deg::BIGINT AS degree,
+       |  COALESCE(pern.n_triangles, 0)::BIGINT AS n_triangles,
+       |  CASE WHEN deg.deg >= 2
+       |    THEN round(2.0 * COALESCE(pern.n_triangles, 0) / (deg.deg * (deg.deg - 1)), 6)
+       |    ELSE 0.0 END AS clustering
+       |FROM deg LEFT JOIN pern ON pern.id = deg.u""".stripMargin
+
+  /** BM25 oracle: constants interpolated from the SAME Scala doubles the
+    * operator uses; the per-document sum folds contributions in term
+    * order (`list_reduce(list(c ORDER BY term))` vs the operator's
+    * `aggregate(array_sort(...))`). */
+  private def bm25Oracle: String = {
+    val k1 = 1.2; val b = 0.75
+    val k1s = java.lang.Double.toString(k1)
+    val k1p1 = java.lang.Double.toString(k1 + 1.0)
+    val omb = java.lang.Double.toString(1.0 - b)
+    val bs = java.lang.Double.toString(b)
+    val terms = Bm25Terms.map(t => s"('$t')").mkString(", ")
+    s"""WITH toklists AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |stats AS (SELECT count(*)::DOUBLE AS n,
+       |  (sum(len(t))::DOUBLE / count(*)) AS avgdl FROM toklists),
+       |qt(term) AS (VALUES $terms),
+       |tf AS (
+       |  SELECT doc_id, tok AS term, count(*) AS tf, max(dl) AS dl FROM (
+       |    SELECT doc_id, unnest(t) AS tok, len(t) AS dl FROM toklists) u
+       |  JOIN qt ON u.tok = qt.term GROUP BY 1, 2),
+       |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+       |contrib AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+       |      (tf.tf::DOUBLE * $k1p1) /
+       |      (tf.tf::DOUBLE + $k1s * ($omb + $bs * tf.dl::DOUBLE / stats.avgdl)) AS c
+       |  FROM tf JOIN df USING (term) CROSS JOIN stats)
+       |SELECT doc_id, count(*)::BIGINT AS n_terms_matched,
+       |  round(list_reduce(list(c ORDER BY term), (x, y) -> x + y), 6) AS bm25
+       |FROM contrib GROUP BY doc_id""".stripMargin
   }
 
   /** Edges + recursive-CTE connected components, shared by several oracles. */
@@ -986,6 +1096,8 @@ object SparkEntry {
 
     "q_kg_mentions" -> mentionsSql,
     "q_kg_pagerank" -> kgPagerankOracle,
+    "q_kg_triangles" -> kgTrianglesOracle,
+    "q_bm25" -> bm25Oracle,
 
     "q_kg_link_edges" ->
       s"""$mentionsCte
@@ -1183,6 +1295,43 @@ object SparkEntry {
         |  (max(tus) - min(tus))::BIGINT AS duration_us,
         |  max(value) AS max_value
         |FROM sess GROUP BY user_id, session_idx""".stripMargin,
+
+    // the operator's union-merge window sweep vs the oracle's
+    // last_value(... IGNORE NULLS) over the identical total order
+    // (tus, side, event_id) — inclusive `<=` as-of semantics on both sides
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+        |         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT user_id, event_id, tus, value, kind,
+        |    last_value(CASE WHEN kind = 0
+        |        THEN struct_pack(tus := tus, v := value) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tus, kind, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS lc
+        |  FROM ev)
+        |SELECT user_id, event_id, tus AS purchase_us, value AS purchase_value,
+        |  COALESCE(lc.tus, 0)::BIGINT AS last_click_us,
+        |  COALESCE(lc.v, 0.0) AS click_value,
+        |  COALESCE(tus - lc.tus, -1)::BIGINT AS gap_us
+        |FROM w WHERE kind = 1""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toklists AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM toklists),
+        |tfc AS (SELECT doc_id, unnest(t) AS term FROM toklists),
+        |tfg AS (SELECT doc_id, term, count(*) AS tf FROM tfc GROUP BY 1, 2),
+        |df AS (SELECT term, count(*)::DOUBLE AS df FROM tfg GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, term, tf::BIGINT AS tf,
+        |    round(tf::DOUBLE * ln(n.n / df.df), 6) AS tfidf
+        |  FROM tfg JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM scored)
+        |SELECT doc_id, rk::BIGINT AS rk, term, tf, tfidf
+        |FROM ranked WHERE rk <= 3""".stripMargin,
 
     "q_retention" ->
       """WITH uw AS (

@@ -75,4 +75,49 @@ object GraphAnalytics {
       .select(col("id").as("entity_id"), col("deg").as("degree"),
         col("pr").as("pagerank"))
   }
+
+  /**
+   * Per-node triangle count + local clustering coefficient over the
+   * undirected co-mention graph — the standard graph-quality signal
+   * (community density, spam-ring detection) computed the standard
+   * scalable way: DEGREE-ORDERED edge orientation. Every edge is oriented
+   * from its (degree, id)-smaller endpoint; wedges are enumerated only
+   * between two out-edges of the same source and closed against the
+   * oriented edge list — each triangle is found exactly once, and the
+   * wedge count is Σ outdeg(v)² with outdeg bounded by O(√|E|) under this
+   * orientation (the celebrity node's edges point INTO it, so its millions
+   * of neighbors never pair up). Two self-joins on the edge key + one hash
+   * aggregate; the (degree, id) tiebreak keeps the orientation — and so
+   * the plan — fully deterministic.
+   */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("entity_a"), col("entity_b"))
+    val deg = e.select(col("entity_a").as("u"))
+      .unionByName(e.select(col("entity_b").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("u").as("entity_a"), col("deg").as("da")), Seq("entity_a"))
+      .join(deg.select(col("u").as("entity_b"), col("deg").as("db")), Seq("entity_b"))
+    val lower = struct(col("da"), col("entity_a")) < struct(col("db"), col("entity_b"))
+    val ori = withDeg.select(
+      when(lower, col("entity_a")).otherwise(col("entity_b")).as("u"),
+      when(lower, col("entity_b")).otherwise(col("entity_a")).as("v"),
+      when(lower, col("db")).otherwise(col("da")).as("dv"))
+    val e1 = ori.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val e2 = ori.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+    val wedges = e1.join(e2, Seq("u"))
+      .where(struct(col("dv1"), col("v1")) < struct(col("dv2"), col("v2")))
+    val tris = wedges.join(ori.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+    val perNode = tris
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, deg("u") === perNode("id"), "left")
+      .select(col("u").as("entity_id"), col("deg").cast("long").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
 }

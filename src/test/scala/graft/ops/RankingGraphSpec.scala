@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the round-6 additions: as-of join, BM25 / TF-IDF
+  * ranking, and triangle counting. Each test pins semantics on a
+  * hand-checkable input (the oracle queries pin engine parity). */
+class RankingGraphSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("asofJoin attaches the latest at-or-before right row per key") {
+    import spark.implicits._
+    // right: quotes at t=10, 20, 20(later id), 40; left probes at 5, 20, 30
+    val left = Seq((1L, 5L, 100L), (1L, 20L, 101L), (1L, 30L, 102L), (2L, 30L, 103L))
+      .toDF("k", "tus", "event_id")
+    val right = Seq((1L, 10L, 1L, 1.0), (1L, 20L, 2L, 2.0), (1L, 20L, 3L, 3.0),
+      (1L, 40L, 4L, 4.0), (2L, 25L, 5L, 5.0))
+      .toDF("k", "tus", "event_id", "px")
+    val got = AsOf.asofJoin(left, right, "k", "tus", "event_id", Seq("tus", "px"))
+      .select(col("event_id"), col("asof.tus").as("rt"), col("asof.px").as("px"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2))))).toMap
+    assert(got(100L).isEmpty)                      // nothing at-or-before t=5
+    assert(got(101L).contains((20L, 3.0)))         // inclusive <=; later tie id wins
+    assert(got(102L).contains((20L, 3.0)))         // carries forward past t=20
+    assert(got(103L).contains((25L, 5.0)))         // keys never cross
+  }
+
+  test("bm25 matches the hand-computed single-doc score and ranks by tf") {
+    import spark.implicits._
+    val d = Seq((1L, "x"), (2L, "x x y"), (3L, "y z")).toDF("doc_id", "text")
+    val got = Ranking.bm25(d, Seq("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    // doc 3 has no query term -> absent
+    assert(got.map(_._1).toSet == Set(1L, 2L))
+    // doc 1: tf=1, dl=1, N=3, df=2, avgdl=(1+3+2)/3=2
+    val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    val s1 = idf * (1.0 * 2.2) / (1.0 + 1.2 * (0.25 + 0.75 * 1.0 / 2.0))
+    val r1 = got.find(_._1 == 1L).get
+    assert(r1._2 == 1L)
+    assert(math.abs(r1._3 - s1) < 1e-6)
+    // doc 2: tf=2 but dl=3 -> length normalization wins, doc 1 ranks higher
+    val s2 = idf * (2.0 * 2.2) / (2.0 + 1.2 * (0.25 + 0.75 * 3.0 / 2.0))
+    val r2 = got.find(_._1 == 2L).get
+    assert(math.abs(r2._3 - s2) < 1e-6)
+    assert(r1._3 > r2._3)
+  }
+
+  test("tfIdfTopTerms ranks corpus-rare terms first with term tiebreak") {
+    import spark.implicits._
+    val d = Seq((1L, "a a rare b"), (2L, "a b"), (3L, "a b")).toDF("doc_id", "text")
+    val got = Ranking.tfIdfTopTerms(d, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+    // 'a'/'b' appear in every doc -> idf = ln(1) = 0; 'rare' wins doc 1
+    assert(got.filter(_._1 == 1L).sortBy(_._2).map(_._3) == List("rare", "a"))
+    // docs 2/3: all scores 0 -> tiebreak by term name
+    assert(got.filter(_._1 == 2L).sortBy(_._2).map(_._3) == List("a", "b"))
+  }
+
+  test("triangles: K4 plus a pendant node (hand-counted)") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, 3 per node) + pendant edge 4-5
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (1L, 4L), (2L, 4L), (4L, 5L))
+      .toDF("entity_a", "entity_b")
+    val got = GraphAnalytics.triangles(edges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)))
+    assert(got(2L) == ((3L, 3L, 1.0)))
+    assert(got(3L) == ((3L, 3L, 1.0)))
+    assert(got(4L) == ((4L, 3L, 0.5)))
+    assert(got(5L) == ((1L, 0L, 0.0)))
+    // global count: per-node sum = 3 x triangle count
+    assert(got.values.map(_._2).sum == 12L)
+  }
+}

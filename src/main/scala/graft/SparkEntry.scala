@@ -468,7 +468,29 @@ object SparkEntry {
     // co-mention graph (degree-ordered orientation — the scalable
     // enumeration; each triangle found exactly once)
     "q_kg_triangles" -> ((s, dir) =>
-      GraphAnalytics.triangles(coEdgesDf(s, dir))))
+      GraphAnalytics.triangles(coEdgesDf(s, dir))),
+
+    // ---- label-propagation communities (3 unrolled rounds, weighted
+    // argmax with min-label tiebreak — integer-deterministic)
+    "q_kg_communities" -> ((s, dir) =>
+      GraphAnalytics.labelPropagation(coEdgesDf(s, dir))),
+
+    // ---- multi-source 4-hop BFS from md5-nibble-selected seed entities
+    // (minimum hop distance, unrolled relaxation)
+    "q_kg_bfs" -> ((s, dir) =>
+      GraphAnalytics.bfsDistance(coEdgesDf(s, dir),
+        substring(md5(col("id")), 1, 1).isin("0", "1", "2", "3"))),
+
+    // ---- KMV-sketch corpus overlap: train-vs-eval bigram-shingle overlap
+    // estimated from two 256-value sketches (plus exact counts for
+    // accuracy visibility) — the sub-linear contamination-triage primitive
+    "q_kmv_overlap" -> ((s, dir) => {
+      val sh = Dedup.bigramShingles(docs(s, dir))
+      Sketches.kmvOverlap(
+        sh.where(col("doc_id") % 97 =!= 0).select("shingle"),
+        sh.where(col("doc_id") % 97 === 0).select("shingle"),
+        "shingle")
+    }))
 
   /** Fixed BM25 query terms (drawn from the synthetic corpus vocabulary). */
   private val Bm25Terms = Seq("spark", "merge", "window")
@@ -573,6 +595,103 @@ object SparkEntry {
        |    THEN round(2.0 * COALESCE(pern.n_triangles, 0) / (deg.deg * (deg.deg - 1)), 6)
        |    ELSE 0.0 END AS clustering
        |FROM deg LEFT JOIN pern ON pern.id = deg.u""".stripMargin
+
+  /** Label-propagation oracle: 3 unrolled rounds; per-round argmax is
+    * `row_number() OVER (ORDER BY w DESC, label)` — the SQL spelling of
+    * the operator's `min(struct(-w, label))`. Integer weights, no floats. */
+  private def kgCommunitiesOracle: String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""$mentionsCte,
+         |cm AS (SELECT DISTINCT conv_id, entity_id FROM mentions),
+         |ce AS (SELECT a.entity_id AS ea, b.entity_id AS eb, count(*) AS w
+         |  FROM cm a JOIN cm b ON a.conv_id = b.conv_id
+         |  WHERE a.entity_id < b.entity_id GROUP BY 1, 2),
+         |dir AS (SELECT ea AS src, eb AS dst, w FROM ce
+         |  UNION ALL SELECT eb, ea, w FROM ce),
+         |l0 AS (SELECT DISTINCT src AS id, src AS label FROM dir)""".stripMargin
+    for (it <- 1 to 3) {
+      sb ++=
+        s""",
+           |n$it AS (SELECT d.src, l.label, sum(d.w) AS w
+           |  FROM dir d JOIN l${it - 1} l ON l.id = d.dst GROUP BY 1, 2),
+           |l$it AS (SELECT src AS id, label FROM (
+           |  SELECT src, label,
+           |    row_number() OVER (PARTITION BY src ORDER BY w DESC, label) AS rk
+           |  FROM n$it) WHERE rk = 1)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |, sizes AS (SELECT label, count(*) AS community_size FROM l3 GROUP BY 1)
+         |SELECT l3.id AS entity_id, l3.label AS community, sizes.community_size
+         |FROM l3 JOIN sizes ON sizes.label = l3.label""".stripMargin
+    sb.toString
+  }
+
+  /** Multi-source BFS oracle: 4 unrolled min-distance relaxation rounds
+    * from the md5-nibble seed set; integer distances throughout. */
+  private def kgBfsOracle: String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""$mentionsCte,
+         |cm AS (SELECT DISTINCT conv_id, entity_id FROM mentions),
+         |ce AS (SELECT a.entity_id AS ea, b.entity_id AS eb
+         |  FROM cm a JOIN cm b ON a.conv_id = b.conv_id
+         |  WHERE a.entity_id < b.entity_id GROUP BY 1, 2),
+         |dir AS (SELECT ea AS src, eb AS dst FROM ce
+         |  UNION ALL SELECT eb, ea FROM ce),
+         |d0 AS (SELECT DISTINCT src AS id, 0::BIGINT AS dist FROM dir
+         |  WHERE substring(md5(src), 1, 1) IN ('0', '1', '2', '3'))""".stripMargin
+    for (it <- 1 to 4) {
+      sb ++=
+        s""",
+           |d$it AS (SELECT id, min(dist) AS dist FROM (
+           |  SELECT id, dist FROM d${it - 1}
+           |  UNION ALL
+           |  SELECT d.dst AS id, p.dist + 1 AS dist
+           |  FROM dir d JOIN d${it - 1} p ON p.id = d.src) GROUP BY 1)""".stripMargin
+    }
+    sb ++= "\nSELECT id AS entity_id, dist FROM d4"
+    sb.toString
+  }
+
+  /** KMV overlap oracle: sketch contents are exact (md5 ordering is
+    * engine-independent), every estimator input is an integer, and the
+    * 48-bit hash-prefix value is the SAME instr-arithmetic expression the
+    * operator builds (constants via Double interpolation). */
+  private def kmvOverlapOracle: String = {
+    val k = Sketches.KmvK
+    val nib = Sketches.hexPrefixValueSql("mh")
+    val denom = java.lang.Double.toString(math.pow(16.0, 12.0))
+    val km1 = java.lang.Double.toString((k - 1).toDouble)
+    def est(kc: String, mx: String): String =
+      s"CASE WHEN $kc < $k THEN $kc::DOUBLE ELSE $km1 / (${nib.replace("mh", mx)} / $denom) END"
+    s"""WITH toklists AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |toks AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS tok
+       |  FROM toklists, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+       |),
+       |ha AS MATERIALIZED (SELECT DISTINCT md5(tok) AS h FROM toks WHERE doc_id % 97 != 0),
+       |hb AS MATERIALIZED (SELECT DISTINCT md5(tok) AS h FROM toks WHERE doc_id % 97 = 0),
+       |sa AS MATERIALIZED (SELECT h FROM ha ORDER BY h LIMIT $k),
+       |sb AS MATERIALIZED (SELECT h FROM hb ORDER BY h LIMIT $k),
+       |su AS MATERIALIZED (SELECT DISTINCT h FROM
+       |  (SELECT h FROM sa UNION ALL SELECT h FROM sb) ORDER BY h LIMIT $k),
+       |stat AS (SELECT
+       |  (SELECT count(*) FROM sa) AS ka, (SELECT max(h) FROM sa) AS ma,
+       |  (SELECT count(*) FROM sb) AS kb, (SELECT max(h) FROM sb) AS mb,
+       |  (SELECT count(*) FROM su) AS ku, (SELECT max(h) FROM su) AS mu,
+       |  (SELECT count(*) FROM su JOIN sa USING (h) JOIN sb USING (h)) AS shared,
+       |  (SELECT count(*) FROM ha) AS exact_a,
+       |  (SELECT count(*) FROM hb) AS exact_b)
+       |SELECT $k::BIGINT AS k, exact_a, exact_b,
+       |  round(${est("ka", "ma")}, 6) AS est_a,
+       |  round(${est("kb", "mb")}, 6) AS est_b,
+       |  round(${est("ku", "mu")}, 6) AS est_union,
+       |  round(shared::DOUBLE / ku, 6) AS est_jaccard,
+       |  round(shared::DOUBLE / ku * (${est("ku", "mu")}), 6) AS est_intersection
+       |FROM stat""".stripMargin
+  }
 
   /** BM25 oracle: constants interpolated from the SAME Scala doubles the
     * operator uses; the per-document sum folds contributions in term
@@ -1097,6 +1216,9 @@ object SparkEntry {
     "q_kg_mentions" -> mentionsSql,
     "q_kg_pagerank" -> kgPagerankOracle,
     "q_kg_triangles" -> kgTrianglesOracle,
+    "q_kg_communities" -> kgCommunitiesOracle,
+    "q_kg_bfs" -> kgBfsOracle,
+    "q_kmv_overlap" -> kmvOverlapOracle,
     "q_bm25" -> bm25Oracle,
 
     "q_kg_link_edges" ->

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -63,6 +63,9 @@ object GraphAnalytics {
         .join(pr, dir("src") === pr("id")).drop("id")
         .join(deg, Seq("src"))
         .select(col("dst"), col("src"), (col("pr") / col("deg")).as("c"))
+      // no checkpoint here: pr is referenced exactly once per iteration,
+      // so the unrolled plan is linear and one action computes it once
+      // (BFS below is the contrast case — its iterate is referenced twice)
       pr = contrib.groupBy("dst")
         .agg(array_sort(collect_list(struct(col("src"), col("c")))).as("parts"))
         .crossJoin(broadcast(nn))
@@ -90,6 +93,68 @@ object GraphAnalytics {
    * aggregate; the (degree, id) tiebreak keeps the orientation — and so
    * the plan — fully deterministic.
    */
+  /**
+   * Synchronous label propagation (community detection) — `iters` unrolled
+   * rounds over the weighted undirected co-mention graph. Every node
+   * starts labeled with its own id; each round it adopts the label with
+   * the highest incident edge-weight sum among its neighbors, ties broken
+   * by the SMALLER label — a fully deterministic argmax (`min` over
+   * `struct(-w, label)`), integer arithmetic only, so the result is
+   * oracle-exact with no float anywhere.
+   *
+   * Scale shape: per round, one `dst`-keyed join to attach neighbor labels
+   * and two hash aggregates ((node, label) weight sum with map-side
+   * combine, then the per-node argmax) — the same iterate-join-aggregate
+   * dataflow as PageRank, hash-partitioned on the entity key, AQE handling
+   * celebrity-entity skew. Returns (entity_id, community, community_size).
+   */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val dir = edges.select(col("entity_a").as("src"), col("entity_b").as("dst"), col("weight"))
+      .unionByName(edges.select(col("entity_b").as("src"), col("entity_a").as("dst"), col("weight")))
+    var labels = dir.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iters) {
+      labels = dir
+        .join(labels, dir("dst") === labels("id")).drop("id")
+        .groupBy(col("src"), col("label"))
+        .agg(sum(col("weight")).as("w"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("w")).as("nw"), col("label"))).as("top"))
+        .select(col("src").as("id"), col("top.label").as("label"))
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("id").as("entity_id"), col("label").as("community"),
+        col("community_size"))
+  }
+
+  /**
+   * Multi-source k-hop BFS: minimum hop distance from any seed node,
+   * `iters` unrolled Bellman-Ford relaxation rounds (nodes further than
+   * `iters` hops are absent). Per round one `src`-keyed join + one min
+   * aggregate — integer distances, deterministic by construction. The
+   * production variant checkpoints the frontier between rounds; unrolling
+   * matches the fixed-depth neighborhood-expansion query (entity context
+   * windows for KG-grounded retrieval).
+   */
+  def bfsDistance(edges: DataFrame, seedPred: Column, iters: Int = 4): DataFrame = {
+    val dir = edges.select(col("entity_a").as("src"), col("entity_b").as("dst"))
+      .unionByName(edges.select(col("entity_b").as("src"), col("entity_a").as("dst")))
+    val nodes = dir.select(col("src").as("id")).distinct()
+    var dist = nodes.where(seedPred).select(col("id"), lit(0L).as("dist"))
+    for (_ <- 1 to iters) {
+      val relaxed = dir.join(dist, dir("src") === dist("id"))
+        .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
+      // each round references the previous frontier TWICE (carry + expand):
+      // unchecked that doubles the replayed lineage per round (2^iters);
+      // localCheckpoint pins each round's result instead
+      dist = dist.unionByName(relaxed)
+        .groupBy("id").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist.select(col("id").as("entity_id"), col("dist"))
+  }
+
   def triangles(edges: DataFrame): DataFrame = {
     val e = edges.select(col("entity_a"), col("entity_b"))
     val deg = e.select(col("entity_a").as("u"))

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * KMV (k-minimum-values) distinct sketches and sketch-based corpus overlap
+ * estimation — the sub-linear answer to "how much does corpus B overlap
+ * corpus A?" (train/eval contamination triage, dataset-version drift,
+ * dedup-rate forecasting) when the exact n-gram join
+ * ([[NgramQuality.contamination]]) is too expensive to run corpus × corpus.
+ *
+ * The sketch of a set is its k smallest md5 values. Three classical
+ * estimators (Bar-Yossef et al. 2002; Beyer et al. 2007) compose from it:
+ *  - distinct count: (k−1) / r_k, where r_k is the k-th smallest hash
+ *    mapped to [0,1) — here via the first 12 hex nibbles (48 bits, exact
+ *    in a double);
+ *  - Jaccard: |S_k(A∪B) ∩ S_k(A) ∩ S_k(B)| / |S_k(A∪B)| (the union sketch
+ *    is a uniform sample of A∪B, membership in both side-sketches marks an
+ *    intersection element);
+ *  - intersection size: Jaccard × |A∪B|-estimate.
+ * Sets smaller than k are counted exactly (their sketch IS the set).
+ *
+ * Scale shape: each side is one distinct + one `TakeOrderedAndProject`
+ * (per-partition top-k heaps, merged on one reducer — k rows, never a full
+ * sort); everything downstream operates on ≤k-row frames joined as
+ * broadcasts. At 100 TB the only full-data passes are the two shingle
+ * scans; the k-row sketches can also be persisted per corpus version and
+ * composed later (union of sketches = sketch of union — the algebra is
+ * what makes the operator a pipeline primitive rather than a query).
+ *
+ * Determinism (oracle-exact): md5 hex strings order identically in Spark
+ * and DuckDB; sketch contents are therefore exact, every estimator input
+ * (k, sketch sizes, shared counts, 48-bit hash values) is an integer, and
+ * each derived double is one rounded expression — no cross-row float
+ * folds anywhere.
+ */
+object Sketches {
+
+  /** Default sketch size: ±1/√256 ≈ 6% relative error on distinct counts. */
+  val KmvK = 256
+
+  /** First `nibbles` hex digits of an md5 string as an exact integer
+    * (nibbles ≤ 13 keeps the value < 2^52, exact in a double). Built from
+    * `instr` on the hex alphabet so DuckDB can evaluate the identical
+    * expression — no engine-specific hex-to-int conversion. */
+  def hexPrefixValue(h: Column, nibbles: Int = 12): Column =
+    (0 until nibbles).map { i =>
+      (instr(lit("0123456789abcdef"), substring(h, i + 1, 1)) - 1).cast("double") *
+        lit(math.pow(16.0, (nibbles - 1 - i).toDouble))
+    }.reduce(_ + _)
+
+  /** The same expression as [[hexPrefixValue]] in portable SQL. */
+  def hexPrefixValueSql(h: String, nibbles: Int = 12): String =
+    (0 until nibbles).map { i =>
+      s"(instr('0123456789abcdef', substring($h, ${i + 1}, 1)) - 1)::DOUBLE * ${math.pow(16.0, (nibbles - 1 - i).toDouble)}"
+    }.mkString("(", " + ", ")")
+
+  /** KMV sketch of the values in `elems(valueCol)`: the k smallest
+    * md5(value) hex strings, one `h` column. */
+  def kmvSketch(elems: DataFrame, valueCol: String, k: Int = KmvK): DataFrame =
+    elems.select(md5(col(valueCol)).as("h")).distinct().orderBy("h").limit(k)
+
+  /**
+   * One-row overlap report between two element sets (same `valueCol`
+   * convention on both): sketch sizes, distinct-count estimates for A, B
+   * and A∪B, Jaccard and intersection estimates — plus the exact distinct
+   * counts of each side so accuracy is visible at test scale.
+   */
+  def kmvOverlap(a: DataFrame, b: DataFrame, valueCol: String,
+                 k: Int = KmvK): DataFrame = {
+    val sa = kmvSketch(a, valueCol, k)
+    val sb = kmvSketch(b, valueCol, k)
+    val su = sa.unionByName(sb).distinct().orderBy("h").limit(k)
+
+    def stats(s: DataFrame, kCol: String, mCol: String): DataFrame =
+      s.agg(count(lit(1)).as(kCol), max(col("h")).as(mCol))
+
+    // estimate = exact sketch size below k, else (k-1)/r_k
+    def est(kc: Column, mx: Column): Column = {
+      val rk = hexPrefixValue(mx) / lit(math.pow(16.0, 12.0))
+      when(kc < k, kc.cast("double")).otherwise(lit((k - 1).toDouble) / rk)
+    }
+
+    val shared = su.join(sa, Seq("h")).join(sb, Seq("h"))
+      .agg(count(lit(1)).as("shared"))
+    val exactA = a.select(md5(col(valueCol)).as("h")).distinct()
+      .agg(count(lit(1)).as("exact_a"))
+    val exactB = b.select(md5(col(valueCol)).as("h")).distinct()
+      .agg(count(lit(1)).as("exact_b"))
+
+    val estU = est(col("ku"), col("mu"))
+    stats(sa, "ka", "ma")
+      .crossJoin(stats(sb, "kb", "mb"))
+      .crossJoin(stats(su, "ku", "mu"))
+      .crossJoin(shared).crossJoin(exactA).crossJoin(exactB)
+      .select(
+        lit(k.toLong).as("k"),
+        col("exact_a"), col("exact_b"),
+        round(est(col("ka"), col("ma")), 6).as("est_a"),
+        round(est(col("kb"), col("mb")), 6).as("est_b"),
+        round(estU, 6).as("est_union"),
+        round(col("shared").cast("double") / col("ku"), 6).as("est_jaccard"),
+        round(col("shared").cast("double") / col("ku") * estU, 6).as("est_intersection"))
+  }
+}

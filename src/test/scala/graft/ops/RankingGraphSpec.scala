@@ -63,6 +63,58 @@ class RankingGraphSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 2L).sortBy(_._2).map(_._3) == List("a", "b"))
   }
 
+  test("labelPropagation: two weighted cliques joined by a weak bridge") {
+    import spark.implicits._
+    // clique {1,2,3} (weight 5) and clique {4,5,6} (weight 5), bridge 3-4
+    // (weight 1): after 3 rounds each clique converges to its min id.
+    val edges = Seq(
+      (1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 5L),
+      (4L, 5L, 5L), (5L, 6L, 5L), (4L, 6L, 5L),
+      (3L, 4L, 1L))
+      .toDF("entity_a", "entity_b", "weight")
+    val got = GraphAnalytics.labelPropagation(edges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L)._1 == got(2L)._1 && got(2L)._1 == got(3L)._1)
+    assert(got(4L)._1 == got(5L)._1 && got(5L)._1 == got(6L)._1)
+    assert(got(1L)._1 != got(4L)._1)     // the weak bridge does not merge them
+    assert(got(1L)._2 == 3L && got(4L)._2 == 3L)
+  }
+
+  test("bfsDistance: min hop distance from seeds, bounded by iters") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6-7, seed = node 1 only
+    val edges = (1L to 6L).map(i => (i, i + 1)).toDF("entity_a", "entity_b")
+    val got = GraphAnalytics.bfsDistance(edges, col("id") === 1L, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // nodes 6,7 are beyond 4 hops -> absent
+  }
+
+  test("kmvOverlap: small sets are counted exactly and jaccard is exact") {
+    import spark.implicits._
+    // below k=256 the sketch IS the set: estimates must equal exact counts
+    val a = (1 to 100).map(i => s"e$i").toDF("v")
+    val b = (51 to 130).map(i => s"e$i").toDF("v")
+    val r = Sketches.kmvOverlap(a, b, "v").collect().head
+    assert(r.getAs[Long]("exact_a") == 100L && r.getAs[Long]("exact_b") == 80L)
+    assert(r.getAs[Double]("est_a") == 100.0 && r.getAs[Double]("est_b") == 80.0)
+    assert(r.getAs[Double]("est_union") == 130.0)
+    // shared = 50 of 130 union-sketch members
+    assert(math.abs(r.getAs[Double]("est_jaccard") - 50.0 / 130.0) < 1e-5)
+    assert(math.abs(r.getAs[Double]("est_intersection") - 50.0) < 1e-6)
+  }
+
+  test("kmvOverlap: estimator lands near truth above sketch size") {
+    import spark.implicits._
+    // 4000 vs 3000 elements with 2000 shared; k=256 -> ~6% relative error
+    val a = (1 to 4000).map(i => s"x$i").toDF("v")
+    val b = (2001 to 5000).map(i => s"x$i").toDF("v")
+    val r = Sketches.kmvOverlap(a, b, "v").collect().head
+    assert(math.abs(r.getAs[Double]("est_a") - 4000) / 4000 < 0.2)
+    assert(math.abs(r.getAs[Double]("est_union") - 5000) / 5000 < 0.2)
+    assert(math.abs(r.getAs[Double]("est_intersection") - 2000) / 2000 < 0.35)
+  }
+
   test("triangles: K4 plus a pendant node (hand-counted)") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles, 3 per node) + pendant edge 4-5

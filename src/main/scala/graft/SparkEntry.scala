@@ -481,6 +481,16 @@ object SparkEntry {
       GraphAnalytics.bfsDistance(coEdgesDf(s, dir),
         substring(md5(col("id")), 1, 1).isin("0", "1", "2", "3"))),
 
+    // ---- PMI/NPMI association strength per co-mention edge (stop-entity
+    // hub normalization for graph construction)
+    "q_kg_pmi" -> ((s, dir) =>
+      GraphAnalytics.pmiEdges(mentionsDf(s, dir))),
+
+    // ---- temporal KG: per-entity mention timeline (first/last mention
+    // micros, counts, conversation fan-out, activity span)
+    "q_kg_timeline" -> ((s, dir) =>
+      GraphAnalytics.entityTimelines(mentionsDf(s, dir), turnsDf(s, dir))),
+
     // ---- KMV-sketch corpus overlap: train-vs-eval bigram-shingle overlap
     // estimated from two 256-value sketches (plus exact counts for
     // accuracy visibility) — the sub-linear contamination-triage primitive
@@ -654,6 +664,39 @@ object SparkEntry {
     sb ++= "\nSELECT id AS entity_id, dist FROM d4"
     sb.toString
   }
+
+  /** PMI oracle: integer marginals, `ln` of exact integer ratios, 6 dp;
+    * the n_ab = N degenerate case pins npmi = 1 on both sides. */
+  private def kgPmiOracle: String =
+    s"""$mentionsCte,
+       |cm AS (SELECT DISTINCT conv_id, entity_id FROM mentions),
+       |nn AS (SELECT count(DISTINCT conv_id) AS n FROM cm),
+       |marg AS (SELECT entity_id, count(*) AS n_e FROM cm GROUP BY 1),
+       |ce AS (SELECT a.entity_id AS entity_a, b.entity_id AS entity_b, count(*) AS n_ab
+       |  FROM cm a JOIN cm b ON a.conv_id = b.conv_id
+       |  WHERE a.entity_id < b.entity_id GROUP BY 1, 2)
+       |SELECT ce.entity_a, ce.entity_b, ce.n_ab, ma.n_e AS n_a, mb.n_e AS n_b,
+       |  round(ln(ce.n_ab::DOUBLE * nn.n / (ma.n_e::DOUBLE * mb.n_e)), 6) AS pmi,
+       |  CASE WHEN ce.n_ab = nn.n THEN 1.0
+       |    ELSE round(ln(ce.n_ab::DOUBLE * nn.n / (ma.n_e::DOUBLE * mb.n_e)) /
+       |      -ln(ce.n_ab::DOUBLE / nn.n), 6) END AS npmi
+       |FROM ce JOIN marg ma ON ma.entity_id = ce.entity_a
+       |JOIN marg mb ON mb.entity_id = ce.entity_b CROSS JOIN nn""".stripMargin
+
+  /** Timeline oracle: provenance join back to turns; integer microseconds
+    * end-to-end, no float anywhere. */
+  private def kgTimelineOracle: String =
+    s"""$mentionsCte
+       |SELECT m.entity_id,
+       |  min(epoch_us(t.ts)) AS first_us,
+       |  max(epoch_us(t.ts)) AS last_us,
+       |  count(*) AS n_mentions,
+       |  sum(m.n_hits)::BIGINT AS n_hits,
+       |  count(DISTINCT m.conv_id) AS n_convs,
+       |  (max(epoch_us(t.ts)) - min(epoch_us(t.ts))) AS span_us
+       |FROM mentions m
+       |JOIN turns t ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
+       |GROUP BY 1""".stripMargin
 
   /** KMV overlap oracle: sketch contents are exact (md5 ordering is
     * engine-independent), every estimator input is an integer, and the
@@ -1218,6 +1261,8 @@ object SparkEntry {
     "q_kg_triangles" -> kgTrianglesOracle,
     "q_kg_communities" -> kgCommunitiesOracle,
     "q_kg_bfs" -> kgBfsOracle,
+    "q_kg_pmi" -> kgPmiOracle,
+    "q_kg_timeline" -> kgTimelineOracle,
     "q_kmv_overlap" -> kmvOverlapOracle,
     "q_bm25" -> bm25Oracle,
 

@@ -94,6 +94,63 @@ object GraphAnalytics {
    * the plan — fully deterministic.
    */
   /**
+   * PMI / NPMI association strength for co-mention edges — the standard
+   * graph-construction refinement over raw co-occurrence counts (raw
+   * counts make stop-entity hubs look important; PMI normalizes by both
+   * endpoints' marginals). Event space = conversations: p(a) = n_a/N over
+   * distinct convs mentioning a, p(a,b) = n_ab/N over convs mentioning
+   * both. One distinct + two keyed aggregates + a conv-keyed self-join —
+   * the marginals join back as a broadcast-sized dimension (entity
+   * cardinality = gazetteer size).
+   *
+   * Determinism: all inputs are integer counts; `ln` of exact integer
+   * ratios, rounded to 6 dp (NPMI divides two such logs before rounding).
+   */
+  def pmiEdges(mentions: DataFrame): DataFrame = {
+    val cm = mentions.select(col("conv_id"), col("entity_id")).distinct()
+    val nTotal = cm.select(col("conv_id")).distinct().agg(count(lit(1)).as("n"))
+    val marg = cm.groupBy("entity_id").agg(count(lit(1)).as("n_e"))
+    val a = cm.select(col("conv_id"), col("entity_id").as("entity_a"))
+    val b = cm.select(col("conv_id"), col("entity_id").as("entity_b"))
+    a.join(b, Seq("conv_id"))
+      .where(col("entity_a") < col("entity_b"))
+      .groupBy("entity_a", "entity_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(marg.select(col("entity_id").as("entity_a"), col("n_e").as("n_a"))), Seq("entity_a"))
+      .join(broadcast(marg.select(col("entity_id").as("entity_b"), col("n_e").as("n_b"))), Seq("entity_b"))
+      .crossJoin(broadcast(nTotal))
+      .select(col("entity_a"), col("entity_b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(log(col("n_ab").cast("double") * col("n") /
+          (col("n_a").cast("double") * col("n_b"))), 6).as("pmi"),
+        // p(a,b) = 1 makes the NPMI normalizer -ln(1) = 0; the
+        // perfect-co-occurrence convention is npmi = 1
+        when(col("n_ab") === col("n"), lit(1.0))
+          .otherwise(round(log(col("n_ab").cast("double") * col("n") /
+            (col("n_a").cast("double") * col("n_b"))) /
+            -log(col("n_ab").cast("double") / col("n")), 6)).as("npmi"))
+  }
+
+  /**
+   * Temporal KG: per-entity mention timeline — first/last mention
+   * timestamp, mention-row and hit counts, distinct conversations, and
+   * activity span. The provenance join (mentions back to turns on
+   * (conv_id, turn_idx)) plus ONE entity-keyed aggregate; everything is
+   * integer microseconds, so the row hash is exact by construction.
+   */
+  def entityTimelines(mentions: DataFrame, turns: DataFrame): DataFrame =
+    mentions.select(col("conv_id"), col("turn_idx"), col("entity_id"), col("n_hits"))
+      .join(turns.select(col("conv_id"), col("turn_idx"),
+        unix_micros(col("ts").cast("timestamp")).as("tus")), Seq("conv_id", "turn_idx"))
+      .groupBy("entity_id")
+      .agg(
+        min(col("tus")).as("first_us"),
+        max(col("tus")).as("last_us"),
+        count(lit(1)).as("n_mentions"),
+        sum(col("n_hits")).cast("long").as("n_hits"),
+        countDistinct(col("conv_id")).as("n_convs"),
+        (max(col("tus")) - min(col("tus"))).as("span_us"))
+
+  /**
    * Synchronous label propagation (community detection) — `iters` unrolled
    * rounds over the weighted undirected co-mention graph. Every node
    * starts labeled with its own id; each round it adopts the label with

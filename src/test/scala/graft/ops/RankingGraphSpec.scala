@@ -115,6 +115,42 @@ class RankingGraphSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("est_intersection") - 2000) / 2000 < 0.35)
   }
 
+  test("pmiEdges: independence gives pmi 0, perfect co-occurrence npmi 1") {
+    import spark.implicits._
+    // 4 convs: x in all 4, y in all 4 (perfect pair); z in {c1, c2} with x
+    val m = Seq(
+      ("c1", "x"), ("c1", "y"), ("c1", "z"),
+      ("c2", "x"), ("c2", "y"), ("c2", "z"),
+      ("c3", "x"), ("c3", "y"),
+      ("c4", "x"), ("c4", "y"))
+      .toDF("conv_id", "entity_id")
+    val got = GraphAnalytics.pmiEdges(m)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(5), r.getDouble(6)))).toMap
+    // x-y: n_ab=4=N, n_a=n_b=4 -> pmi = ln(4*4/(4*4)) = 0, npmi = 1
+    assert(got(("x", "y")) == ((4L, 0.0, 1.0)))
+    // x-z: n_ab=2, n_a=4, n_z=2 -> pmi = ln(2*4/(4*2)) = 0; npmi = 0/-ln(1/2) = 0
+    assert(got(("x", "z"))._2 == 0.0 && got(("x", "z"))._3 == 0.0)
+    // y-z: same marginals as x-z
+    assert(got(("y", "z"))._1 == 2L)
+  }
+
+  test("entityTimelines aggregates provenance-joined mention spans") {
+    import spark.implicits._
+    val m = Seq(("c1", 0, "e1", 2L), ("c1", 1, "e1", 1L), ("c2", 0, "e1", 1L),
+      ("c2", 0, "e2", 5L))
+      .toDF("conv_id", "turn_idx", "entity_id", "n_hits")
+    val t = Seq(("c1", 0, "2024-01-01 00:00:00"), ("c1", 1, "2024-01-01 00:01:00"),
+      ("c2", 0, "2024-01-01 00:05:00"))
+      .toDF("conv_id", "turn_idx", "ts")
+    val got = GraphAnalytics.entityTimelines(m, t)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+    assert(got("e1") == ((base, base + 300000000L, 3L, 4L, 2L, 300000000L)))
+    assert(got("e2") == ((base + 300000000L, base + 300000000L, 1L, 5L, 1L, 0L)))
+  }
+
   test("triangles: K4 plus a pendant node (hand-counted)") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles, 3 per node) + pendant edge 4-5

@@ -277,6 +277,28 @@ object SparkEntry {
         },
         lshPairsDf(s, dir))),
 
+    // ---- per-document k-NN text graph: LSH candidates + verified
+    // Jaccard, symmetrized, top-3 per doc (WindowGroupLimit)
+    "q_doc_knn" -> ((s, dir) =>
+      Ranking.knnFromPairs(Dedup.ngramJaccardFromShingles(
+        cached(s, dir, "member_shingles") {
+          Dedup.bigramShingles(docs(s, dir)
+            .join(Dedup.pairMembers(lshPairsDf(s, dir)), Seq("doc_id"), "leftsemi"))
+        },
+        lshPairsDf(s, dir)))),
+
+    // ---- sliding-window chunking (64-token windows every 48) — context-
+    // window preparation, pure narrow projection
+    "q_chunks" -> ((s, dir) =>
+      Sampling.chunkDocuments(docs(s, dir))),
+
+    // ---- training-mix allocation: per-language quotas filled in
+    // deterministic md5 order (zero-RNG reproducible mixing)
+    "q_mixture" -> ((s, dir) =>
+      Sampling.mixtureSample(
+        TextAnalysis.langId(docs(s, dir)).select(col("doc_id"), col("predicted_lang")),
+        "predicted_lang", MixtureQuotas)),
+
     // ---- the composed dedup pipeline end-to-end (exact -> LSH -> verify
     // -> clusters -> per-document verdict). Memoized like the KG graph:
     // the verdict table is a materialize-once artifact downstream filters
@@ -505,6 +527,12 @@ object SparkEntry {
   /** Fixed BM25 query terms (drawn from the synthetic corpus vocabulary). */
   private val Bm25Terms = Seq("spark", "merge", "window")
 
+  /** Per-language training-mix quotas (integer quotas, not float weights:
+    * cross-engine `floor(budget × w)` would disagree between binary
+    * doubles and DuckDB decimals). */
+  private val MixtureQuotas =
+    Seq("en" -> 120, "de" -> 60, "es" -> 40, "fr" -> 30, "zh" -> 20)
+
   // ============================================================ oracle SQL
 
   private val turnsCte = Transcripts.oracleCte
@@ -664,6 +692,38 @@ object SparkEntry {
     sb ++= "\nSELECT id AS entity_id, dist FROM d4"
     sb.toString
   }
+
+  /** k-NN oracle: the q_ngram_jaccard pipeline as a CTE, symmetrized,
+    * ranked per doc with the same (jaccard DESC, neighbor) tiebreak. */
+  private def docKnnOracle: String =
+    s"""$lshPairsCte,
+       |jtoklists AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |shingles AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS shingle
+       |  FROM jtoklists, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, count(sb.shingle) AS i
+       |  FROM pairs p
+       |  JOIN shingles sa ON sa.doc_id = p.doc_a
+       |  LEFT JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY p.doc_a, p.doc_b
+       |),
+       |j AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |    round(CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i), 6) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.doc_a
+       |  JOIN sizes zb ON zb.doc_id = i.doc_b),
+       |sym AS (
+       |  SELECT doc_a AS doc_id, doc_b AS neighbor, jaccard FROM j WHERE jaccard > 0
+       |  UNION ALL
+       |  SELECT doc_b, doc_a, jaccard FROM j WHERE jaccard > 0),
+       |ranked AS (SELECT doc_id, neighbor, jaccard, row_number() OVER (
+       |  PARTITION BY doc_id ORDER BY jaccard DESC, neighbor) AS rk FROM sym)
+       |SELECT doc_id, rk::BIGINT AS rk, neighbor, jaccard
+       |FROM ranked WHERE rk <= 3""".stripMargin
 
   /** PMI oracle: integer marginals, `ln` of exact integer ratios, 6 dp;
     * the n_ab = N degenerate case pins npmi = 1 on both sides. */
@@ -1263,6 +1323,35 @@ object SparkEntry {
     "q_kg_bfs" -> kgBfsOracle,
     "q_kg_pmi" -> kgPmiOracle,
     "q_kg_timeline" -> kgTimelineOracle,
+    "q_doc_knn" -> docKnnOracle,
+
+    "q_chunks" ->
+      """WITH toklists AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |SELECT doc_id, (s // 48)::BIGINT AS chunk_idx, s::BIGINT AS start_tok,
+        |  least(64, len(t) - s)::BIGINT AS n_tokens,
+        |  array_to_string(list_slice(t, s + 1, s + 64), ' ') AS chunk
+        |FROM toklists,
+        |  LATERAL (SELECT unnest(generate_series(0, len(t) - 1, 48)) AS s)""".stripMargin,
+
+    "q_mixture" -> {
+      val quotaValues = MixtureQuotas.map { case (l, q) => s"('$l', $q)" }.mkString(", ")
+      s"""WITH lang AS (SELECT doc_id,
+         |  CASE
+         |    WHEN CAST(length(regexp_replace(text, '[ -~]', '', 'g')) AS DOUBLE) / length(text) > 0.3 THEN 'zh'
+         |    WHEN (length(text) - length(replace(text, 'the', ''))) // 3 >= 3 THEN 'en'
+         |    WHEN CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE) / length(text) > 0.34 THEN 'es'
+         |    WHEN CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE) / length(text) > 0.30 THEN 'fr'
+         |    ELSE 'de'
+         |  END AS predicted_lang
+         |FROM documents),
+         |q(predicted_lang, quota) AS (VALUES $quotaValues),
+         |ranked AS (SELECT doc_id, predicted_lang, quota,
+         |  row_number() OVER (PARTITION BY predicted_lang
+         |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+         |  FROM lang JOIN q USING (predicted_lang))
+         |SELECT doc_id, predicted_lang, rk::BIGINT AS rk
+         |FROM ranked WHERE rk <= quota""".stripMargin
+    },
     "q_kmv_overlap" -> kmvOverlapOracle,
     "q_bm25" -> bm25Oracle,
 

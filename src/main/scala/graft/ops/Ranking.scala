@@ -67,6 +67,29 @@ object Ranking {
           lit(0.0), (acc, x) => acc + x.getField("c")), 6).as("bm25"))
   }
 
+  /**
+   * Per-document k-nearest-neighbor text graph from scored candidate
+   * pairs (LSH candidates + verified Jaccard — the [[Dedup]] machinery):
+   * symmetrize the undirected pairs, keep positive similarities, rank
+   * per document. The rank window rewrites to WindowGroupLimit (per-
+   * partition top-k heaps, no full sort); candidate generation is already
+   * bucketed upstream, so nothing here is all-pairs. Ties on the rounded
+   * score break by neighbor id — rank boundaries are deterministic.
+   */
+  def knnFromPairs(scored: DataFrame, k: Int = 3): DataFrame = {
+    val sym = scored
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("neighbor"), col("jaccard"))
+      .unionByName(scored
+        .select(col("doc_b").as("doc_id"), col("doc_a").as("neighbor"), col("jaccard")))
+      .where(col("jaccard") > 0)
+    sym
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("jaccard").desc, col("neighbor"))))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        col("neighbor"), col("jaccard"))
+  }
+
   /** Per-document top-`k` terms by TF-IDF (tf · ln(N/df)), rank ties
     * broken by term name. Returns (doc_id, rk, term, tf, tfidf). */
   def tfIdfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {

@@ -159,4 +159,45 @@ object Sampling {
       .withColumn("n_redactions",
         (regexp_count(col(textCol), lit(EmailRe)) +
           regexp_count(col(textCol), lit(UrlRe))).cast("long"))
+
+  /**
+   * Sliding-window document chunking — context-window preparation: split
+   * each document's token stream into `window`-token chunks every `stride`
+   * tokens (overlap = window − stride), the standard long-document
+   * training shape. Pure narrow projection (split → sequence of starts →
+   * explode → slice/join); output size is len/stride rows per doc and
+   * nothing shuffles. Chunk boundaries are integer arithmetic and chunk
+   * text is verbatim token joins — deterministic by construction.
+   */
+  def chunkDocuments(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 1, lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start_tok"),
+        least(lit(window), size(col("t")) - col("start")).cast("long").as("n_tokens"),
+        array_join(slice(col("t"), col("start") + 1, lit(window)), " ").as("chunk"))
+
+  /**
+   * Training-mix allocation: per-language (or any stratum) quotas filled
+   * by a deterministic pseudo-random order — md5(doc_id) then doc_id, the
+   * repo's zero-RNG sampling convention — so the mix is reproducible
+   * across runs and engines. Quotas arrive as integers (callers derive
+   * them from mixture weights; integer quotas avoid cross-engine
+   * float×budget rounding). One stratum-keyed rank window
+   * (WindowGroupLimit caps per-partition state at max quota).
+   */
+  def mixtureSample(stratumDocs: DataFrame, stratumCol: String,
+                    quotas: Seq[(String, Int)]): DataFrame = {
+    val spark = stratumDocs.sparkSession
+    import spark.implicits._
+    val q = quotas.toDF(stratumCol, "quota")
+    stratumDocs.join(broadcast(q), Seq(stratumCol))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(stratumCol)
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .where(col("rk") <= col("quota"))
+      .select(col("doc_id"), col(stratumCol), col("rk").cast("long").as("rk"))
+  }
 }

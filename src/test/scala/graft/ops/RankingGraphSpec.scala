@@ -151,6 +151,43 @@ class RankingGraphSpec extends AnyFunSuite {
     assert(got("e2") == ((base + 300000000L, base + 300000000L, 1L, 5L, 1L, 0L)))
   }
 
+  test("knnFromPairs symmetrizes and ranks by (jaccard desc, neighbor)") {
+    import spark.implicits._
+    val scored = Seq((1L, 2L, 0.8), (1L, 3L, 0.8), (2L, 3L, 0.5), (1L, 4L, 0.0))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val got = Ranking.knnFromPairs(scored, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 1: ties at 0.8 break by neighbor id; 0-score pair dropped
+    assert(got((1L, 1L)) == 2L && got((1L, 2L)) == 3L)
+    assert(!got.contains((4L, 1L)))
+    // doc 3 sees both sides of its pairs: 1 (0.8) then 2 (0.5)
+    assert(got((3L, 1L)) == 1L && got((3L, 2L)) == 2L)
+  }
+
+  test("chunkDocuments windows with overlap and a short tail") {
+    import spark.implicits._
+    val d = Seq((7L, (1 to 100).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Sampling.chunkDocuments(d, window = 64, stride = 48)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L))
+    assert(got(0L)._1 == 0L && got(0L)._2 == 64L)
+    assert(got(1L) == ((48L, 52L, (49 to 100).map(i => s"t$i").mkString(" "))))
+    assert(got(2L) == ((96L, 4L, "t97 t98 t99 t100")))
+  }
+
+  test("mixtureSample fills integer quotas in deterministic md5 order") {
+    import spark.implicits._
+    val d = (1L to 20L).map(i => (i, if (i <= 12) "en" else "de")).toDF("doc_id", "lang")
+    val got = Sampling.mixtureSample(d, "lang", Seq("en" -> 3, "de" -> 5))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    assert(got.count(_._1 == "en") == 3)
+    assert(got.count(_._1 == "de") == 5)
+    // determinism: a second run picks the identical sample
+    val again = Sampling.mixtureSample(d, "lang", Seq("en" -> 3, "de" -> 5))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    assert(got.toSet == again.toSet)
+  }
+
   test("triangles: K4 plus a pendant node (hand-counted)") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles, 3 per node) + pendant edge 4-5

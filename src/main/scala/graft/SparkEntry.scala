@@ -430,6 +430,21 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
 
+    // ---- blocked edit-distance vocabulary pairs (typo/alias resolution;
+    // first-char block + length band before the Levenshtein verify)
+    "q_fuzzy_vocab" -> ((s, dir) =>
+      TextAnalysis.fuzzyVocabPairs(docs(s, dir))),
+
+    // ---- k-core peeling over the co-mention graph (4 unrolled rounds,
+    // k=2: drop degree-<2 nodes, recount)
+    "q_kg_kcore" -> ((s, dir) =>
+      GraphAnalytics.kCore(coEdgesDf(s, dir))),
+
+    // ---- 20-bucket equal-width histogram of events.value (distribution
+    // profiling; map-side combine collapses to <=20 rows per partition)
+    "q_value_hist" -> ((s, dir) =>
+      Sketches.valueHistogram(table(s, dir, "events"), "value")),
+
     // ---- Okapi BM25 relevance ranking against a term query (term-ordered
     // contribution fold; df/corpus stats ride the plan as broadcasts)
     "q_bm25" -> ((s, dir) =>
@@ -690,6 +705,36 @@ object SparkEntry {
            |  FROM dir d JOIN d${it - 1} p ON p.id = d.src) GROUP BY 1)""".stripMargin
     }
     sb ++= "\nSELECT id AS entity_id, dist FROM d4"
+    sb.toString
+  }
+
+  /** k-core oracle: 4 unrolled peel rounds (k=2) — each round recounts
+    * degrees over the surviving edge set and keeps edges whose BOTH
+    * endpoints clear the bar, mirroring the operator's two semi-joins.
+    * Every per-round CTE is MATERIALIZED: each is referenced twice by the
+    * next round, and DuckDB inlines plain CTEs (exponential blowup across
+    * four rounds). Integer degrees only. */
+  private def kgKcoreOracle: String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""$mentionsCte,
+         |cm AS (SELECT DISTINCT conv_id, entity_id FROM mentions),
+         |e0 AS MATERIALIZED (SELECT a.entity_id AS ea, b.entity_id AS eb
+         |  FROM cm a JOIN cm b ON a.conv_id = b.conv_id
+         |  WHERE a.entity_id < b.entity_id GROUP BY 1, 2)""".stripMargin
+    for (it <- 1 to 4) {
+      sb ++=
+        s""",
+           |k$it AS MATERIALIZED (SELECT u FROM (
+           |  SELECT ea AS u FROM e${it - 1} UNION ALL SELECT eb FROM e${it - 1})
+           |  GROUP BY 1 HAVING count(*) >= 2),
+           |e$it AS MATERIALIZED (SELECT ea, eb FROM e${it - 1}
+           |  WHERE ea IN (SELECT u FROM k$it) AND eb IN (SELECT u FROM k$it))""".stripMargin
+    }
+    sb ++=
+      s"""
+         |SELECT u AS entity_id, count(*) AS kcore_degree FROM (
+         |  SELECT ea AS u FROM e4 UNION ALL SELECT eb FROM e4) GROUP BY 1""".stripMargin
     sb.toString
   }
 
@@ -1321,6 +1366,7 @@ object SparkEntry {
     "q_kg_triangles" -> kgTrianglesOracle,
     "q_kg_communities" -> kgCommunitiesOracle,
     "q_kg_bfs" -> kgBfsOracle,
+    "q_kg_kcore" -> kgKcoreOracle,
     "q_kg_pmi" -> kgPmiOracle,
     "q_kg_timeline" -> kgTimelineOracle,
     "q_doc_knn" -> docKnnOracle,
@@ -1354,6 +1400,39 @@ object SparkEntry {
     },
     "q_kmv_overlap" -> kmvOverlapOracle,
     "q_bm25" -> bm25Oracle,
+
+    // blocked edit-distance vocabulary pairs: same (first-char, ±1 length)
+    // blocking, same integer Levenshtein verify; `a.tok < b.tok` orients
+    // each pair once in both engines (binary collation both sides)
+    "q_fuzzy_vocab" ->
+      """WITH vocab AS MATERIALIZED (
+        |  SELECT tok, count(*) AS df FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1)
+        |SELECT a.tok AS tok_a, b.tok AS tok_b,
+        |  CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist,
+        |  a.df AS df_a, b.df AS df_b
+        |FROM vocab a JOIN vocab b
+        |  ON substring(a.tok, 1, 1) = substring(b.tok, 1, 1)
+        | AND abs(length(a.tok) - length(b.tok)) <= 1
+        | AND a.tok < b.tok
+        |WHERE levenshtein(a.tok, b.tok) <= 1""".stripMargin,
+
+    // equal-width histogram: identical IEEE width/bucket arithmetic (the
+    // min/max doubles, the /20 width, floor of the same quotient); the max
+    // value clamps into the last bin via least(19, ...) on both sides
+    "q_value_hist" ->
+      """WITH mm AS (SELECT CAST(min(value) AS DOUBLE) AS mn,
+        |                  CAST(max(value) AS DOUBLE) AS mx FROM events)
+        |SELECT bucket, count(*) AS n,
+        |  round(mn + bucket * (mx - mn) / 20, 6) AS lo,
+        |  round(mn + (bucket + 1) * (mx - mn) / 20, 6) AS hi
+        |FROM (
+        |  SELECT CASE WHEN mx = mn THEN 0
+        |    ELSE least(19, CAST(floor((CAST(value AS DOUBLE) - mn) / ((mx - mn) / 20)) AS BIGINT))
+        |    END AS bucket, mn, mx
+        |  FROM events, mm)
+        |GROUP BY bucket, mn, mx""".stripMargin,
 
     "q_kg_link_edges" ->
       s"""$mentionsCte

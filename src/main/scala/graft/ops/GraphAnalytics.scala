@@ -212,6 +212,35 @@ object GraphAnalytics {
     dist.select(col("id").as("entity_id"), col("dist"))
   }
 
+  /**
+   * k-core peeling, `rounds` unrolled rounds: repeatedly remove nodes with
+   * degree < k and recount — the standard dense-subgraph / spam-ring
+   * filter. A fixpoint needs O(degeneracy) rounds; a fixed unroll is the
+   * bounded-latency batch variant (the survivors after R rounds are a
+   * superset of the true k-core, equal once a round removes nothing).
+   * Each round is one aggregate + two semi-joins on the entity key;
+   * integer degrees only. The per-round localCheckpoint pins the shrinking
+   * edge set — the surviving-edge frame is referenced twice per round
+   * (degree count + semi-join) and feeds every later round.
+   */
+  def kCore(edges: DataFrame, k: Int = 2, rounds: Int = 4): DataFrame = {
+    var e = edges.select(col("entity_a"), col("entity_b")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("entity_a").as("u"))
+        .unionByName(e.select(col("entity_b").as("u")))
+        .groupBy("u").agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select(col("u"))
+      e = e
+        .join(keep.select(col("u").as("entity_a")), Seq("entity_a"), "leftsemi")
+        .join(keep.select(col("u").as("entity_b")), Seq("entity_b"), "leftsemi")
+        .localCheckpoint()
+    }
+    e.select(col("entity_a").as("u"))
+      .unionByName(e.select(col("entity_b").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("kcore_degree"))
+      .select(col("u").as("entity_id"), col("kcore_degree"))
+  }
+
   def triangles(edges: DataFrame): DataFrame = {
     val e = edges.select(col("entity_a"), col("entity_b"))
     val deg = e.select(col("entity_a").as("u"))

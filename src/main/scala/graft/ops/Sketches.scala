@@ -62,6 +62,37 @@ object Sketches {
     elems.select(md5(col(valueCol)).as("h")).distinct().orderBy("h").limit(k)
 
   /**
+   * Fixed-bucket histogram of a numeric column: `buckets` equal-width
+   * bins over the observed [min, max], per-bin count and bounds — the
+   * distribution-profiling pass (outlier triage, quantile eyeballing,
+   * drift dashboards) that precedes threshold picking. Two passes: a
+   * 1-row min/max aggregate rides the plan as a broadcast, then one
+   * hash aggregate on the bin index (map-side combine collapses each
+   * partition to ≤`buckets` rows before the exchange).
+   *
+   * Determinism: bin width and indices derive from the same IEEE doubles
+   * in either engine (floor of identical doubles), the max value clamps
+   * into the last bin, and a constant column degenerates to bin 0.
+   */
+  def valueHistogram(df: DataFrame, valueCol: String, buckets: Int = 20): DataFrame = {
+    val mm = df.agg(min(col(valueCol)).cast("double").as("mn"),
+      max(col(valueCol)).cast("double").as("mx"))
+    val width = (col("mx") - col("mn")) / buckets
+    df.select(col(valueCol).cast("double").as("v"))
+      .crossJoin(broadcast(mm))
+      .select(
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit((buckets - 1).toLong),
+            floor((col("v") - col("mn")) / width))).as("bucket"),
+        col("mn"), col("mx"))
+      .groupBy("bucket", "mn", "mx")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"), col("n"),
+        round(col("mn") + col("bucket") * width, 6).as("lo"),
+        round(col("mn") + (col("bucket") + 1) * width, 6).as("hi"))
+  }
+
+  /**
    * One-row overlap report between two element sets (same `valueCol`
    * convention on both): sketch sizes, distinct-count estimates for A, B
    * and A∪B, Jaccard and intersection estimates — plus the exact distinct

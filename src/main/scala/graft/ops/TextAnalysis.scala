@@ -68,6 +68,37 @@ object TextAnalysis {
   }
 
   /**
+   * Fuzzy vocabulary matching — blocked edit-distance pairing over the
+   * corpus vocabulary (typo/variant normalization, the token-level face of
+   * entity-alias resolution). The self-join is BLOCKED on (first
+   * character) with a ±1 length band before the Levenshtein verify: a
+   * 10^8-token vocabulary never goes all-pairs, each block is
+   * first-letter-sized, and the length predicate prunes before the O(n·m)
+   * distance runs. The standard blocking tradeoff (a first-character edit
+   * escapes the block) is the documented recall cost.
+   *
+   * Determinism: Levenshtein is integer DP with one answer; document
+   * frequencies are integer counts; `tok_a < tok_b` orients each pair
+   * exactly once.
+   */
+  def fuzzyVocabPairs(docs: DataFrame, maxDist: Int = 1): DataFrame = {
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    def side(n: String) = vocab.select(
+      col("tok").as(s"tok_$n"), col("df").as(s"df_$n"),
+      substring(col("tok"), 1, 1).as(s"blk_$n"), length(col("tok")).as(s"len_$n"))
+    side("a").join(side("b"),
+        col("blk_a") === col("blk_b") &&
+          abs(col("len_a") - col("len_b")) <= 1 &&
+          col("tok_a") < col("tok_b"))
+      .where(levenshtein(col("tok_a"), col("tok_b")) <= maxDist)
+      .select(col("tok_a"), col("tok_b"),
+        levenshtein(col("tok_a"), col("tok_b")).cast("long").as("dist"),
+        col("df_a"), col("df_b"))
+  }
+
+  /**
    * Document fingerprint: md5 over the normalized text (lowercase,
    * non-alphanumeric runs collapsed to single spaces, trimmed) — the
    * canonical near-identity key for fuzzy-exact dedup.

@@ -203,4 +203,43 @@ class RankingGraphSpec extends AnyFunSuite {
     // global count: per-node sum = 3 x triangle count
     assert(got.values.map(_._2).sum == 12L)
   }
+
+  test("kCore peels the pendant chain off a triangle (k=2)") {
+    import spark.implicits._
+    // triangle {1,2,3} + chain 3-4, 4-5: round 1 drops 5 (deg 1), round 2
+    // drops the now-pendant 4; the triangle is the 2-core.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("entity_a", "entity_b")
+    val got = GraphAnalytics.kCore(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("valueHistogram bins equal widths and clamps the max into the last bin") {
+    import spark.implicits._
+    val df = Seq(0.0, 1.0, 2.0, 3.0, 4.0).toDF("value")
+    val got = Sketches.valueHistogram(df, "value", buckets = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // width 1.0 over [0,4]; the max value 4.0 clamps into bucket 3
+    assert(got == Map(
+      0L -> ((1L, 0.0, 1.0)), 1L -> ((1L, 1.0, 2.0)),
+      2L -> ((1L, 2.0, 3.0)), 3L -> ((2L, 3.0, 4.0))))
+    // constant column degenerates to one bucket holding every row
+    val const = Sketches.valueHistogram(Seq(7.0, 7.0, 7.0).toDF("value"), "value", buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(const == Map(0L -> 3L))
+  }
+
+  test("fuzzyVocabPairs blocks on (first char, ±1 length) before the verify") {
+    import spark.implicits._
+    val docs = Seq((1L, "cat cot cat"), (2L, "dog dig cart")).toDF("doc_id", "text")
+    val got = TextAnalysis.fuzzyVocabPairs(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // cot/cart is dist 2 -> filtered; dog/cat cross blocks -> never joined
+    assert(got == Set(
+      ("cart", "cat", 1L, 1L, 2L),
+      ("cat", "cot", 1L, 2L, 1L),
+      ("dig", "dog", 1L, 1L, 1L)))
+  }
 }

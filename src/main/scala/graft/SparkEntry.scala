@@ -329,6 +329,21 @@ object SparkEntry {
     "q_retention" -> ((s, dir) =>
       Sessionize.retentionCohorts(table(s, dir, "events"))),
 
+    // ---- first-order Markov event-type transitions (the same single
+    // user_id shuffle sessionization pays; per-src totals ride a broadcast)
+    "q_transitions" -> ((s, dir) =>
+      Sessionize.transitions(table(s, dir, "events"))),
+
+    // ---- JSON props field rollup (schema-on-read promotion pass;
+    // codegen'd get_json_object keeps the parse in WholeStageCodegen)
+    "q_props_rollup" -> ((s, dir) =>
+      Sessionize.propsRollup(table(s, dir, "events"))),
+
+    // ---- per-source curation report (fingerprint rollup; never a
+    // distinct over raw text — 16-byte md5 collapses map-side)
+    "q_source_report" -> ((s, dir) =>
+      TextAnalysis.sourceReport(docs(s, dir))),
+
     // ---- as-of join: each purchase joined to the latest at-or-before
     // click of the same user — union-merge + ONE keyed window sweep, no
     // range join (see AsOf scaladoc)
@@ -1682,6 +1697,54 @@ object SparkEntry {
         |  a.n_active::BIGINT AS n_active, s.n_cohort::BIGINT AS n_cohort,
         |  round(a.n_active::DOUBLE / s.n_cohort::DOUBLE, 6) AS retention_rate
         |FROM act a JOIN sizes s USING (cohort_week)""".stripMargin,
+
+    // identical (tus, event_id) total order per user on both sides;
+    // integer counts, one exactly-rounded division for the probability
+    "q_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events),
+        |seq AS (
+        |  SELECT event_type AS src_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS dst_type
+        |  FROM e),
+        |cnt AS (SELECT src_type, dst_type, count(*) AS n FROM seq
+        |  WHERE dst_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT src_type, sum(n) AS n_src FROM cnt GROUP BY 1)
+        |SELECT c.src_type, c.dst_type, c.n::BIGINT AS n,
+        |  round(c.n::DOUBLE / t.n_src::DOUBLE, 6) AS p
+        |FROM cnt c JOIN tot t USING (src_type)""".stripMargin,
+
+    // get_json_object('$.k') == json_extract_string('$.k'): both return the
+    // raw scalar as text, both cast to NULL-on-garbage BIGINT
+    "q_props_rollup" ->
+      """SELECT event_type,
+        |  count(*)::BIGINT AS n_events,
+        |  count(v)::BIGINT AS n_with_field,
+        |  CAST(sum(v) AS BIGINT) AS sum_v,
+        |  min(v)::BIGINT AS min_v,
+        |  max(v)::BIGINT AS max_v
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
+
+    // same normalized-md5 fingerprint q_fingerprint pins; integer count /
+    // char-sum rollup with two exactly-rounded rate divisions
+    "q_source_report" ->
+      """WITH fp AS (
+        |  SELECT source, n_chars,
+        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+        |  FROM documents),
+        |g AS (SELECT source, fingerprint, count(*) AS n_fp, sum(n_chars) AS chars_fp
+        |  FROM fp GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(sum(n_fp) AS BIGINT) AS n_docs,
+        |  count(*)::BIGINT AS n_distinct,
+        |  CAST(sum(n_fp) - count(*) AS BIGINT) AS n_dups,
+        |  CAST(sum(chars_fp) AS BIGINT) AS total_chars,
+        |  round((sum(n_fp) - count(*))::DOUBLE / sum(n_fp)::DOUBLE, 6) AS dup_rate,
+        |  round(sum(chars_fp)::DOUBLE / sum(n_fp)::DOUBLE, 6) AS avg_chars
+        |FROM g GROUP BY source""".stripMargin,
 
     "q_quantize_int8" ->
       """WITH base AS (

@@ -95,6 +95,60 @@ object Sessionize {
    * never needs a user's events on one partition, so hot users are not a
    * skew risk at all.
    */
+  /**
+   * Event-type transition matrix (first-order Markov counts) — the
+   * sequence-mining primitive behind next-action prediction features and
+   * bot/anomaly triage: per user, order events in time and count
+   * (src → dst) event-type transitions globally, with per-src transition
+   * probabilities.
+   *
+   * Shape at 100 TB: the lead() window is the same ONE `user_id` shuffle
+   * sessionization pays (per-user order is the semantics; hot users are
+   * the same unsalvageable skew, mitigated by AQE), and the transition
+   * count collapses map-side to at most |event_type|² rows per partition
+   * before its tiny exchange. The per-src totals ride back on a broadcast.
+   *
+   * Determinism: ordering ties break on `event_id`; counts are integers;
+   * the probability is one exactly-rounded division of integer-valued
+   * doubles.
+   */
+  def transitions(events: DataFrame): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val seq = events
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"),
+        col("event_id"), col("event_type"))
+      .withColumn("dst_type", lead(col("event_type"), 1).over(order))
+      .where(col("dst_type").isNotNull)
+    val cnt = seq.groupBy(col("event_type").as("src_type"), col("dst_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("src_type").agg(sum("n").as("n_src"))
+    cnt.join(broadcast(tot), Seq("src_type"))
+      .select(col("src_type"), col("dst_type"), col("n"),
+        round(col("n").cast("double") / col("n_src").cast("double"), 6).as("p"))
+  }
+
+  /**
+   * Semi-structured property rollup — JSON field extraction over the raw
+   * `props` payload column, then a keyed aggregate: the schema-on-read
+   * pass every event pipeline runs before promoting a JSON field to a real
+   * column. `get_json_object` is a codegen'd native expression, so the
+   * parse stays inside WholeStageCodegen; the aggregate collapses map-side
+   * to |event_type| rows per partition. All outputs are integer counts /
+   * integer min-max-sum (the extracted field is integral in the data, and
+   * a non-integral or missing value falls out as NULL on both engines).
+   */
+  def propsRollup(events: DataFrame, field: String = "k"): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), s"$$.$field").cast("long").as("v"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("v")).as("n_with_field"),
+        sum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+
   def retentionCohorts(events: DataFrame,
                        bucketUs: Long = 7L * 86400 * 1000000): DataFrame = {
     val userWeeks = events

@@ -107,4 +107,40 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fingerprint"))
+
+  /**
+   * Per-source curation report — the domain-level dashboard row a web-scale
+   * corpus curator reads before setting crawl/filter policy: per `source`,
+   * document counts, distinct-fingerprint counts (the same normalized-md5
+   * fingerprint `fingerprints` emits), the implied within-source duplicate
+   * count/rate, and character mass.
+   *
+   * Shape at 100 TB: one hash aggregate on (source, fingerprint) — the raw
+   * corpus collapses map-side to distinct fingerprints per source — then a
+   * source-keyed rollup of the (tiny) per-fingerprint counts. Never a
+   * distinct over raw text; the md5 is 16 bytes per row. Per-source skew
+   * (one giant crawl domain) only concentrates the SECOND, already
+   * collapsed aggregate.
+   *
+   * Determinism: counts and char sums are integers; rates are
+   * exactly-rounded divisions of integer-valued doubles.
+   */
+  def sourceReport(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("source"), col("n_chars"),
+      md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fingerprint"))
+    fp.groupBy("source", "fingerprint")
+      .agg(count(lit(1)).as("n_fp"), sum(col("n_chars")).as("chars_fp"))
+      .groupBy("source")
+      .agg(
+        sum(col("n_fp")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("n_fp")) - count(lit(1))).as("n_dups"),
+        sum(col("chars_fp")).as("total_chars"))
+      .select(col("source"), col("n_docs"), col("n_distinct"), col("n_dups"),
+        col("total_chars"),
+        round(col("n_dups").cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"),
+        round(col("total_chars").cast("double") / col("n_docs").cast("double"), 6)
+          .as("avg_chars"))
+  }
 }

@@ -465,6 +465,53 @@ class OpsSpec extends AnyFunSuite {
       (1L, 1L) -> ((1L, 1L, 1.0))))  // user 3 back a week later
   }
 
+  test("transitions count per-user ordered pairs with per-src probabilities") {
+    import spark.implicits._
+    def ts(s: Int) = new java.sql.Timestamp(s * 1000L)
+    // user 1: view -> click -> view; user 2: view -> click. Transitions:
+    // view->click x2, click->view x1; src 'view' total 2, 'click' total 1.
+    val events = Seq(
+      (1L, ts(1), 1L, "view"), (1L, ts(2), 2L, "click"), (1L, ts(3), 3L, "view"),
+      (2L, ts(1), 4L, "view"), (2L, ts(5), 5L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sessionize.transitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      ("view", "click") -> ((2L, 1.0)),
+      ("click", "view") -> ((1L, 1.0))))
+  }
+
+  test("propsRollup extracts the JSON field and ignores garbage/missing") {
+    import spark.implicits._
+    val events = Seq(
+      ("a", """{"k": 3}"""), ("a", """{"k": 5}"""),
+      ("a", """{"other": 1}"""), ("b", """not json""")
+    ).toDF("event_type", "props")
+    val got = Sessionize.propsRollup(events).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    // a: 3 events, 2 carry k (3+5); b: parse failure -> NULL everywhere
+    assert(got == Map("a" -> ((3L, 2L, 8L, 3L)), "b" -> ((1L, 0L, -1L, -1L))))
+  }
+
+  test("sourceReport counts within-source duplicate fingerprints exactly") {
+    import spark.implicits._
+    // srcA: "Hello!" and "hello" normalize to the same fingerprint (1 dup
+    // among 3 docs); srcB: 1 unique doc
+    val docs = Seq(
+      (1L, "Hello!", "srcA"), (2L, "hello", "srcA"), (3L, "bye", "srcA"),
+      (4L, "hello", "srcB"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = TextAnalysis.sourceReport(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got("srcA") == ((3L, 2L, 1L, 14L, 0.333333)))
+    assert(got("srcB") == ((1L, 1L, 0L, 5L, 0.0)))
+  }
+
   test("MP4 demux: frame payloads are true mdat slices with box-table offsets") {
     val assets = Multimodal.mp4Assets(spark, docs.limit(60))
     val samples = Multimodal.demuxMp4Samples(assets).collect()

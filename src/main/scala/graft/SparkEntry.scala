@@ -344,6 +344,21 @@ object SparkEntry {
     "q_source_report" -> ((s, dir) =>
       TextAnalysis.sourceReport(docs(s, dir))),
 
+    // ---- SCD-1 / CDC last-write-wins compaction (latest row per
+    // (user_id, event_type); one keyed shuffle, selection only)
+    "q_upsert_latest" -> ((s, dir) =>
+      Sessionize.latestByKey(table(s, dir, "events"))),
+
+    // ---- exact per-group quantiles by rank selection (percentile_disc
+    // semantics; order statistics, no interpolation arithmetic)
+    "q_quantiles" -> ((s, dir) =>
+      Sketches.exactQuantiles(table(s, dir, "events"), "value", "event_type")),
+
+    // ---- common-neighbor Jaccard node similarity (link-prediction /
+    // entity-merge candidates; pairs keyed on the shared neighbor)
+    "q_kg_nodesim" -> ((s, dir) =>
+      GraphAnalytics.nodeSimilarity(coEdgesDf(s, dir))),
+
     // ---- as-of join: each purchase joined to the latest at-or-before
     // click of the same user — union-merge + ONE keyed window sweep, no
     // range join (see AsOf scaladoc)
@@ -752,6 +767,26 @@ object SparkEntry {
          |  SELECT ea AS u FROM e4 UNION ALL SELECT eb FROM e4) GROUP BY 1""".stripMargin
     sb.toString
   }
+
+  /** Common-neighbor Jaccard oracle: pairs keyed on the shared neighbor,
+    * exactly like the operator; all counts integer, one rounded division.
+    * dir/deg MATERIALIZED (each referenced 2-3 times downstream). */
+  private def kgNodeSimOracle: String =
+    s"""$mentionsCte,
+       |cm AS (SELECT DISTINCT conv_id, entity_id FROM mentions),
+       |ce AS MATERIALIZED (SELECT a.entity_id AS ea, b.entity_id AS eb
+       |  FROM cm a JOIN cm b ON a.conv_id = b.conv_id
+       |  WHERE a.entity_id < b.entity_id GROUP BY 1, 2),
+       |dir AS MATERIALIZED (SELECT ea AS u, eb AS n FROM ce
+       |  UNION ALL SELECT eb, ea FROM ce),
+       |deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM dir GROUP BY 1),
+       |prs AS (SELECT x.u AS entity_a, y.u AS entity_b, count(*) AS common
+       |  FROM dir x JOIN dir y ON x.n = y.n AND x.u < y.u GROUP BY 1, 2)
+       |SELECT p.entity_a, p.entity_b, p.common::BIGINT AS common,
+       |  da.deg::BIGINT AS deg_a, db.deg::BIGINT AS deg_b,
+       |  round(p.common::DOUBLE / (da.deg + db.deg - p.common)::DOUBLE, 6) AS jaccard
+       |FROM prs p JOIN deg da ON da.u = p.entity_a
+       |  JOIN deg db ON db.u = p.entity_b""".stripMargin
 
   /** k-NN oracle: the q_ngram_jaccard pipeline as a CTE, symmetrized,
     * ranked per doc with the same (jaccard DESC, neighbor) tiebreak. */
@@ -1382,6 +1417,7 @@ object SparkEntry {
     "q_kg_communities" -> kgCommunitiesOracle,
     "q_kg_bfs" -> kgBfsOracle,
     "q_kg_kcore" -> kgKcoreOracle,
+    "q_kg_nodesim" -> kgNodeSimOracle,
     "q_kg_pmi" -> kgPmiOracle,
     "q_kg_timeline" -> kgTimelineOracle,
     "q_doc_knn" -> docKnnOracle,
@@ -1697,6 +1733,30 @@ object SparkEntry {
         |  a.n_active::BIGINT AS n_active, s.n_cohort::BIGINT AS n_cohort,
         |  round(a.n_active::DOUBLE / s.n_cohort::DOUBLE, 6) AS retention_rate
         |FROM act a JOIN sizes s USING (cohort_week)""".stripMargin,
+
+    // selection over the identical (tus DESC, event_id DESC) total order —
+    // event_id is unique, so rank 1 is the same row in both engines
+    "q_upsert_latest" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tus, value
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id, event_type ORDER BY tus DESC, event_id DESC) AS rn
+        |  FROM e)
+        |SELECT user_id, event_type, event_id, tus, value FROM r WHERE rn = 1""".stripMargin,
+
+    // rank selection (percentile_disc): ceil(q*n) over the same doubles,
+    // the picked value is an order statistic — no interpolation to drift
+    "q_quantiles" ->
+      """WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+        |r AS (SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |q AS (SELECT unnest([0.25, 0.5, 0.9, 0.99]::DOUBLE[]) AS q)
+        |SELECT event_type, q, n::BIGINT AS n, rn::BIGINT AS rank, v AS value
+        |FROM r, q
+        |WHERE rn = greatest(1, CAST(ceil(q * n) AS BIGINT))""".stripMargin,
 
     // identical (tus, event_id) total order per user on both sides;
     // integer counts, one exactly-rounded division for the probability

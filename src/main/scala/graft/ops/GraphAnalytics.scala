@@ -241,6 +241,45 @@ object GraphAnalytics {
       .select(col("u").as("entity_id"), col("kcore_degree"))
   }
 
+  /**
+   * Structural node similarity — common-neighbor Jaccard over the
+   * undirected graph: for every node pair sharing ≥1 neighbor,
+   * |N(a)∩N(b)| / |N(a)∪N(b)|. The entity-resolution / link-prediction
+   * primitive (two entities that co-occur with the same third entities
+   * are candidates for merging or for a missing edge).
+   *
+   * Shape at 100 TB: candidate pairs come from ONE self-join keyed on the
+   * shared neighbor — only pairs with an actual common neighbor are ever
+   * materialized (never all-pairs). The known hot spot is a hub neighbor
+   * (deg² pair blowup through one key); production mitigation is a degree
+   * cap on the join's build side (drop hubs above a percentile — they
+   * carry no discriminative signal for similarity) or the KMV
+   * neighborhood-sketch estimate ([[Sketches.kmvSketch]]); the testdata
+   * graph needs neither. Degrees ride back on two keyed joins against the
+   * (nodes-sized) degree frame.
+   *
+   * Determinism: `dir` holds distinct (node, neighbor) rows by
+   * construction, so every count is an exact integer; jaccard is one
+   * rounded division.
+   */
+  def nodeSimilarity(edges: DataFrame): DataFrame = {
+    val dir = edges.select(col("entity_a").as("u"), col("entity_b").as("n"))
+      .unionByName(edges.select(col("entity_b").as("u"), col("entity_a").as("n")))
+    val deg = dir.groupBy("u").agg(count(lit(1)).as("deg"))
+    val pairs = dir.as("x").join(dir.as("y"),
+        col("x.n") === col("y.n") && col("x.u") < col("y.u"))
+      .groupBy(col("x.u").as("entity_a"), col("y.u").as("entity_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(deg.select(col("u").as("entity_a"), col("deg").as("deg_a")), Seq("entity_a"))
+      .join(deg.select(col("u").as("entity_b"), col("deg").as("deg_b")), Seq("entity_b"))
+      .select(col("entity_a"), col("entity_b"), col("common"),
+        col("deg_a"), col("deg_b"),
+        round(col("common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   def triangles(edges: DataFrame): DataFrame = {
     val e = edges.select(col("entity_a"), col("entity_b"))
     val deg = e.select(col("entity_a").as("u"))

@@ -149,6 +149,34 @@ object Sessionize {
         min(col("v")).as("min_v"),
         max(col("v")).as("max_v"))
 
+  /**
+   * Last-write-wins key compaction (SCD-1 / CDC upsert-merge): keep each
+   * key's latest row by (event time, event_id tiebreak). This is the
+   * maintenance pass every mutable-dimension ingest runs to fold a change
+   * stream into current state.
+   *
+   * Shape at 100 TB: ONE shuffle on the key + an in-partition sort (the
+   * row_number window); with the base table bucketed by key, incremental
+   * merges shuffle only the (small) delta. `max(struct(...))` would do it
+   * in a hash aggregate without the sort, but the window spelling keeps
+   * the full row without a struct repack and AQE coalesces the exchange
+   * the same way; both are one-shuffle.
+   *
+   * Determinism: selection only (no arithmetic) over a total order —
+   * (tus DESC, event_id DESC) has no ties since event_id is unique.
+   */
+  def latestByKey(events: DataFrame, keys: Seq[String] = Seq("user_id", "event_type"))
+      : DataFrame = {
+    val order = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("tus").desc, col("event_id").desc)
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"), col("value"))
+      .withColumn("rn", row_number().over(order))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
+
   def retentionCohorts(events: DataFrame,
                        bucketUs: Long = 7L * 86400 * 1000000): DataFrame = {
     val userWeeks = events

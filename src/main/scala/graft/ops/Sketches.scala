@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -90,6 +91,36 @@ object Sketches {
       .select(col("bucket"), col("n"),
         round(col("mn") + col("bucket") * width, 6).as("lo"),
         round(col("mn") + (col("bucket") + 1) * width, 6).as("hi"))
+  }
+
+  /**
+   * Exact per-group quantiles by rank selection (percentile_disc
+   * semantics): the value at rank ceil(q·n) in each group's sort order,
+   * for each requested q. Pure SELECTION — no interpolation arithmetic —
+   * so the result is a value that exists in the data and is
+   * engine-exact by construction (interpolated percentile implementations
+   * differ across engines; order statistics cannot).
+   *
+   * Shape at 100 TB: one shuffle on the group key + an in-partition sort
+   * shared by the row_number and count windows (same partitioning → one
+   * exchange). Exact global quantiles inherently need the group's values
+   * co-sorted; at full corpus scale the approximate path is
+   * [[valueHistogram]] / a KMV-style sketch, and this operator serves
+   * per-slice exact reporting where the slice fits a partition.
+   */
+  def exactQuantiles(df: DataFrame, valueCol: String, groupCol: String,
+                     qs: Seq[Double] = Seq(0.25, 0.5, 0.9, 0.99)): DataFrame = {
+    val byGroup = Window.partitionBy(groupCol)
+    val ranked = df
+      .select(col(groupCol), col(valueCol).cast("double").as("v"))
+      .withColumn("rn", row_number().over(byGroup.orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(byGroup))
+    ranked
+      .select(col(groupCol), col("v"), col("rn"), col("n"),
+        explode(array(qs.map(lit(_)): _*)).as("q"))
+      .where(col("rn") === greatest(lit(1L), ceil(col("q") * col("n")).cast("long")))
+      .select(col(groupCol), col("q"), col("n"), col("rn").cast("long").as("rank"),
+        col("v").as("value"))
   }
 
   /**

@@ -465,6 +465,43 @@ class OpsSpec extends AnyFunSuite {
       (1L, 1L) -> ((1L, 1L, 1.0))))  // user 3 back a week later
   }
 
+  test("latestByKey keeps exactly the newest row per key (event_id tiebreak)") {
+    import spark.implicits._
+    def ts(s: Int) = new java.sql.Timestamp(s * 1000L)
+    val events = Seq(
+      (1L, "view", 1L, ts(10), 1.0), (1L, "view", 2L, ts(20), 2.0),
+      (1L, "view", 3L, ts(20), 3.0),                       // ts tie -> id 3 wins
+      (1L, "click", 4L, ts(5), 4.0), (2L, "view", 5L, ts(1), 5.0))
+      .toDF("user_id", "event_type", "event_id", "ts", "value")
+    val got = Sessionize.latestByKey(events).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, "view") -> 3L, (1L, "click") -> 4L, (2L, "view") -> 5L))
+  }
+
+  test("exactQuantiles selects the ceil(q*n)-th order statistic per group") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => ("a", i.toDouble)).toDF("event_type", "value")
+    val got = Sketches.exactQuantiles(df, "value", "event_type")
+      .collect().map(r => r.getDouble(1) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    // n=10: q=0.25 -> rank 3, 0.5 -> 5, 0.9 -> 9, 0.99 -> 10
+    assert(got == Map(0.25 -> ((3L, 3.0)), 0.5 -> ((5L, 5.0)),
+      0.9 -> ((9L, 9.0)), 0.99 -> ((10L, 10.0))))
+  }
+
+  test("nodeSimilarity: common-neighbor Jaccard on a hand-checked graph") {
+    import spark.implicits._
+    // path 1-3, 2-3, 3-4: nodes 1,2,4 all have exactly {3} as neighborhood
+    // -> jaccard 1.0 pairwise; pairs through node 3's hub only.
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("entity_a", "entity_b")
+    val got = GraphAnalytics.nodeSimilarity(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got == Map(
+      (1L, 2L) -> ((1L, 1L, 1L, 1.0)),
+      (1L, 4L) -> ((1L, 1L, 1L, 1.0)),
+      (2L, 4L) -> ((1L, 1L, 1L, 1.0))))
+  }
+
   test("transitions count per-user ordered pairs with per-src probabilities") {
     import spark.implicits._
     def ts(s: Int) = new java.sql.Timestamp(s * 1000L)

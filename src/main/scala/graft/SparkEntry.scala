@@ -344,6 +344,20 @@ object SparkEntry {
     "q_source_report" -> ((s, dir) =>
       TextAnalysis.sourceReport(docs(s, dir))),
 
+    // ---- lexical diversity: type-token ratio + token-distribution
+    // entropy (order-pinned float fold over per-doc distinct tokens)
+    "q_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(docs(s, dir))),
+
+    // ---- per-conversation transcript rollup (one conv_id hash aggregate)
+    "q_conv_stats" -> ((s, dir) =>
+      TextAnalysis.convStats(turnsDf(s, dir))),
+
+    // ---- moment-based z-score outliers (scaled-integer moments so the
+    // cross-row sums are exact and order-free)
+    "q_zscore" -> ((s, dir) =>
+      Sketches.zscoreOutliers(table(s, dir, "events"), "value", "event_type")),
+
     // ---- SCD-1 / CDC last-write-wins compaction (latest row per
     // (user_id, event_type); one keyed shuffle, selection only)
     "q_upsert_latest" -> ((s, dir) =>
@@ -1733,6 +1747,56 @@ object SparkEntry {
         |  a.n_active::BIGINT AS n_active, s.n_cohort::BIGINT AS n_cohort,
         |  round(a.n_active::DOUBLE / s.n_cohort::DOUBLE, 6) AS retention_rate
         |FROM act a JOIN sizes s USING (cohort_week)""".stripMargin,
+
+    // entropy terms spelled `0.0 - (c/n)*ln(c/n)` so a zero term is +0.0
+    // on both engines (a bare unary minus would yield -0.0 in DuckDB);
+    // fold order pinned by token, the q_perplexity pattern
+    "q_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS MATERIALIZED (
+        |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |tot AS MATERIALIZED (
+        |  SELECT doc_id, sum(c) AS n, count(*) AS n_distinct FROM cnt GROUP BY 1)
+        |SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+        |  t.n_distinct::BIGINT AS n_distinct,
+        |  round(t.n_distinct::DOUBLE / t.n::DOUBLE, 6) AS ttr,
+        |  round(list_reduce(
+        |    list(0.0 - (c.c::DOUBLE / t.n::DOUBLE) * ln(c.c::DOUBLE / t.n::DOUBLE)
+        |         ORDER BY c.tok),
+        |    (x, y) -> x + y), 6) AS entropy
+        |FROM cnt c JOIN tot t ON t.doc_id = c.doc_id
+        |GROUP BY t.doc_id, t.n, t.n_distinct""".stripMargin,
+
+    "q_conv_stats" ->
+      s"""WITH turns AS (${Transcripts.oracleSql})
+         |SELECT conv_id, count(*)::BIGINT AS n_turns,
+         |  CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+         |  CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
+         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         |  CAST(max(length(text)) AS BIGINT) AS max_turn_chars,
+         |  round(sum(length(text))::DOUBLE / count(*)::DOUBLE, 6) AS avg_turn_chars
+         |FROM turns GROUP BY conv_id""".stripMargin,
+
+    // identical expression tree over exact integer moments; round(v*100)
+    // is integral before the cast, so DuckDB's rounding cast and Spark's
+    // truncating cast agree
+    "q_zscore" ->
+      """WITH scaled AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(round(value * 100) AS BIGINT) AS s FROM events),
+        |m AS MATERIALIZED (
+        |  SELECT event_type, count(*) AS n, sum(s) AS sum_s, sum(s * s) AS sumsq_s
+        |  FROM scaled GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value, CAST(m.n AS BIGINT) AS n,
+        |  round((e.s::DOUBLE - m.sum_s::DOUBLE / m.n::DOUBLE) /
+        |    sqrt(m.sumsq_s::DOUBLE / m.n::DOUBLE -
+        |         (m.sum_s::DOUBLE / m.n::DOUBLE) * (m.sum_s::DOUBLE / m.n::DOUBLE)),
+        |    6) AS zscore
+        |FROM scaled e JOIN m USING (event_type)
+        |WHERE abs((e.s::DOUBLE - m.sum_s::DOUBLE / m.n::DOUBLE) /
+        |    sqrt(m.sumsq_s::DOUBLE / m.n::DOUBLE -
+        |         (m.sum_s::DOUBLE / m.n::DOUBLE) * (m.sum_s::DOUBLE / m.n::DOUBLE))) > 2.0""".stripMargin,
 
     // selection over the identical (tus DESC, event_id DESC) total order —
     // event_id is unique, so rank 1 is the same row in both engines

@@ -124,6 +124,37 @@ object Sketches {
   }
 
   /**
+   * Moment-based outlier detection per group — flag rows whose value sits
+   * more than `threshold` standard deviations from the group mean. The
+   * classic metric-anomaly triage pass.
+   *
+   * Shape at 100 TB: one map-side-combined aggregate to per-group moments
+   * (n, Σs, Σs²) — three integers per group — broadcast back over the
+   * stream; no sort, no window.
+   *
+   * Determinism across engines, the interesting part: raw Σ of doubles is
+   * order-dependent, so the moments are accumulated over SCALED INTEGERS
+   * (`round(value·100)` — the data is 2-decimal; 64-bit sums are exact and
+   * order-free). Mean/variance/z then derive per-row from the same integer
+   * sums via the identical expression tree, and sqrt is IEEE-exact.
+   */
+  def zscoreOutliers(df: DataFrame, valueCol: String, groupCol: String,
+                     threshold: Double = 2.0, scale: Long = 100L): DataFrame = {
+    val s = round(col(valueCol) * scale, 0).cast("long")
+    val scaled = df.select(col("event_id"), col(groupCol), col(valueCol), s.as("s"))
+    val moments = scaled.groupBy(groupCol).agg(
+      count(lit(1)).as("n"), sum(col("s")).as("sum_s"),
+      sum(col("s") * col("s")).as("sumsq_s"))
+    val meanS = col("sum_s").cast("double") / col("n").cast("double")
+    val varS = col("sumsq_s").cast("double") / col("n").cast("double") - meanS * meanS
+    val z = (col("s").cast("double") - meanS) / sqrt(varS)
+    scaled.join(broadcast(moments), Seq(groupCol))
+      .where(abs(z) > threshold)
+      .select(col("event_id"), col(groupCol), col(valueCol),
+        col("n"), round(z, 6).as("zscore"))
+  }
+
+  /**
    * One-row overlap report between two element sets (same `valueCol`
    * convention on both): sketch sizes, distinct-count estimates for A, B
    * and A∪B, Jaccard and intersection estimates — plus the exact distinct

@@ -109,6 +109,62 @@ object TextAnalysis {
       md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fingerprint"))
 
   /**
+   * Lexical diversity per document — type-token ratio and Shannon entropy
+   * of the token distribution: the diversity signal (alongside the
+   * Gopher-style repetition scores in [[NgramQuality]]) that separates
+   * natural prose from keyword-stuffed or template text.
+   *
+   * Shape at 100 TB: explode → ONE (doc_id, tok) hash aggregate (map-side
+   * combined), then a doc-keyed rollup whose entropy fold operates on the
+   * per-doc DISTINCT token list (bounded by vocabulary, not length).
+   *
+   * Determinism: the entropy sum is a cross-row FLOAT fold, so its order
+   * is PINNED — `array_sort(collect_list(struct(tok, c)))` folds terms in
+   * token order, matching the oracle's `list(... ORDER BY tok)` +
+   * `list_reduce` exactly (the established q_perplexity pattern); each
+   * term is computed from the same integer c/n pair on both engines.
+   */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val n = col("n_tokens").cast("double")
+    cnt.groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        array_sort(collect_list(struct(col("tok"), col("c")))).as("terms"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / n, 6).as("ttr"),
+        round(aggregate(col("terms"), lit(0.0),
+          (acc, t) => acc - (t.getField("c").cast("double") / n) *
+            log(t.getField("c").cast("double") / n)), 6).as("entropy"))
+  }
+
+  /**
+   * Per-conversation rollup over the transcript table — the
+   * conversation-level quality/shape report (turn counts, role balance,
+   * tool usage, character mass) that drives transcript filtering before
+   * KG extraction or training-mix assembly.
+   *
+   * Shape at 100 TB: ONE hash aggregate on conv_id, everything map-side
+   * combinable; integers plus one rounded division. No windows — turn
+   * ordering is irrelevant to the rollup, so hot conversations cost
+   * nothing special.
+   */
+  def convStats(turns: DataFrame): DataFrame =
+    turns
+      .groupBy("conv_id")
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("role") === "user", 1L).otherwise(0L)).as("n_user"),
+        sum(when(col("tool").isNotNull, 1L).otherwise(0L)).as("n_tool"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        max(length(col("text")).cast("long")).as("max_turn_chars"))
+      .select(col("conv_id"), col("n_turns"), col("n_user"), col("n_tool"),
+        col("total_chars"), col("max_turn_chars"),
+        round(col("total_chars").cast("double") / col("n_turns").cast("double"), 6)
+          .as("avg_turn_chars"))
+
+  /**
    * Per-source curation report — the domain-level dashboard row a web-scale
    * corpus curator reads before setting crawl/filter policy: per `source`,
    * document counts, distinct-fingerprint counts (the same normalized-md5

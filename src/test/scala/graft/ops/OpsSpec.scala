@@ -465,6 +465,48 @@ class OpsSpec extends AnyFunSuite {
       (1L, 1L) -> ((1L, 1L, 1.0))))  // user 3 back a week later
   }
 
+  test("tokenEntropy: uniform distribution maxes entropy, constant doc is 0") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "x x x x"), (3L, "a a b b")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // doc 1: 4 distinct of 4 -> H = ln 4; doc 2: one token -> H = 0;
+    // doc 3: two at p=0.5 -> H = ln 2
+    assert(got(1L)._1 == 4L && got(1L)._2 == 4L && got(1L)._3 == 1.0)
+    assert(math.abs(got(1L)._4 - math.log(4.0)) < 1e-6)
+    assert(got(2L) == ((4L, 1L, 0.25, 0.0)))
+    assert(math.abs(got(3L)._4 - math.log(2.0)) < 1e-6)
+  }
+
+  test("convStats rolls up turns, roles, tools, and char mass per conversation") {
+    import spark.implicits._
+    val turns = Seq(
+      ("c1", 0, "user", "hello", Some("search")),
+      ("c1", 1, "assistant", "hi there!", None),
+      ("c2", 0, "user", "x", None))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+    val got = TextAnalysis.convStats(turns).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    assert(got("c1") == ((2L, 1L, 1L, 14L, 9L, 7.0)))
+    assert(got("c2") == ((1L, 1L, 0L, 1L, 1L, 1.0)))
+  }
+
+  test("zscoreOutliers flags only rows beyond the threshold, exactly once") {
+    import spark.implicits._
+    // group a: nine 10.00s and one 20.00 -> the 20 is the single outlier
+    // (z = 3); group b: symmetric pair, |z| = 1 each, nothing flagged
+    val events = ((1L to 9L).map(i => (i, "a", 10.0)) :+ ((10L, "a", 20.0))) ++
+      Seq((11L, "b", 1.0), (12L, "b", 3.0))
+    val df = events.toDF("event_id", "event_type", "value")
+    val got = Sketches.zscoreOutliers(df, "value", "event_type").collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(got.keySet == Set(10L))
+    assert(math.abs(got(10L) - 3.0) < 1e-6)
+  }
+
   test("latestByKey keeps exactly the newest row per key (event_id tiebreak)") {
     import spark.implicits._
     def ts(s: Int) = new java.sql.Timestamp(s * 1000L)

@@ -358,6 +358,20 @@ object SparkEntry {
     "q_zscore" -> ((s, dir) =>
       Sketches.zscoreOutliers(table(s, dir, "events"), "value", "event_type")),
 
+    // ---- inverted index (term -> sorted capped posting list; df exact)
+    "q_inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(docs(s, dir))),
+
+    // ---- degree distribution of the co-mention KG: valueHistogram
+    // composed over the degree frame (operators as building blocks)
+    "q_kg_degree_dist" -> ((s, dir) => {
+      val e = coEdgesDf(s, dir)
+      val deg = e.select(col("entity_a").as("u"))
+        .unionByName(e.select(col("entity_b").as("u")))
+        .groupBy("u").agg(count(lit(1)).as("deg"))
+      Sketches.valueHistogram(deg, "deg", 10)
+    }),
+
     // ---- SCD-1 / CDC last-write-wins compaction (latest row per
     // (user_id, event_type); one keyed shuffle, selection only)
     "q_upsert_latest" -> ((s, dir) =>
@@ -801,6 +815,29 @@ object SparkEntry {
        |  round(p.common::DOUBLE / (da.deg + db.deg - p.common)::DOUBLE, 6) AS jaccard
        |FROM prs p JOIN deg da ON da.u = p.entity_a
        |  JOIN deg db ON db.u = p.entity_b""".stripMargin
+
+  /** Degree-distribution oracle: the q_value_hist histogram arithmetic
+    * (identical IEEE width/bucket expressions) over the co-mention degree
+    * frame. */
+  private def kgDegreeDistOracle: String =
+    s"""$mentionsCte,
+       |cm AS (SELECT DISTINCT conv_id, entity_id FROM mentions),
+       |ce AS MATERIALIZED (SELECT a.entity_id AS ea, b.entity_id AS eb
+       |  FROM cm a JOIN cm b ON a.conv_id = b.conv_id
+       |  WHERE a.entity_id < b.entity_id GROUP BY 1, 2),
+       |deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM (
+       |  SELECT ea AS u FROM ce UNION ALL SELECT eb FROM ce) GROUP BY 1),
+       |mm AS (SELECT CAST(min(deg) AS DOUBLE) AS mn,
+       |              CAST(max(deg) AS DOUBLE) AS mx FROM deg)
+       |SELECT bucket, count(*) AS n,
+       |  round(mn + bucket * (mx - mn) / 10, 6) AS lo,
+       |  round(mn + (bucket + 1) * (mx - mn) / 10, 6) AS hi
+       |FROM (
+       |  SELECT CASE WHEN mx = mn THEN 0
+       |    ELSE least(9, CAST(floor((CAST(deg AS DOUBLE) - mn) / ((mx - mn) / 10)) AS BIGINT))
+       |    END AS bucket, mn, mx
+       |  FROM deg, mm)
+       |GROUP BY bucket, mn, mx""".stripMargin
 
   /** k-NN oracle: the q_ngram_jaccard pipeline as a CTE, symmetrized,
     * ranked per doc with the same (jaccard DESC, neighbor) tiebreak. */
@@ -1432,6 +1469,7 @@ object SparkEntry {
     "q_kg_bfs" -> kgBfsOracle,
     "q_kg_kcore" -> kgKcoreOracle,
     "q_kg_nodesim" -> kgNodeSimOracle,
+    "q_kg_degree_dist" -> kgDegreeDistOracle,
     "q_kg_pmi" -> kgPmiOracle,
     "q_kg_timeline" -> kgTimelineOracle,
     "q_doc_knn" -> docKnnOracle,
@@ -1747,6 +1785,17 @@ object SparkEntry {
         |  a.n_active::BIGINT AS n_active, s.n_cohort::BIGINT AS n_cohort,
         |  round(a.n_active::DOUBLE / s.n_cohort::DOUBLE, 6) AS retention_rate
         |FROM act a JOIN sizes s USING (cohort_week)""".stripMargin,
+
+    // sorted-then-capped posting lists; list(ORDER BY) == sort_array, and
+    // both engines render BIGINT identically into the comma join
+    "q_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents))
+        |SELECT term, count(*)::BIGINT AS df,
+        |  array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 1000), ',')
+        |    AS postings
+        |FROM toks GROUP BY term HAVING count(*) >= 2""".stripMargin,
 
     // entropy terms spelled `0.0 - (c/n)*ln(c/n)` so a zero term is +0.0
     // on both engines (a bare unary minus would yield -0.0 in DuckDB);

@@ -165,6 +165,35 @@ object TextAnalysis {
           .as("avg_turn_chars"))
 
   /**
+   * Inverted index construction — term → sorted posting list of doc_ids,
+   * the retrieval-side primitive (BM25 serving, contamination lookups,
+   * dedup-cluster audits all read one). Emitted as (term, df,
+   * comma-joined postings capped at `maxPostings`).
+   *
+   * Shape at 100 TB: one distinct on (doc_id, term) — map-side combined —
+   * then ONE term-keyed aggregate. The cap bounds the stop-word row (an
+   * uncapped "the" posting would be a single row spanning the corpus);
+   * `df` stays exact beyond the cap, which is what ranking needs — full
+   * stop-word postings are useless to retrieval and are the rows every
+   * production index drops or tiers out anyway. Term-key skew is the same
+   * Zipf story as q_perplexity: the aggregate is a partial-agg collapse,
+   * not a join, so the hot key costs one reducer one `maxPostings` list.
+   *
+   * Determinism: postings sort by doc_id before the cap; counts are
+   * integers; the string join renders integers identically everywhere.
+   */
+  def invertedIndex(docs: DataFrame, minDf: Long = 2, maxPostings: Int = 1000)
+      : DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        slice(sort_array(collect_list(col("doc_id"))), 1, maxPostings).as("p"))
+      .where(col("df") >= minDf)
+      .select(col("term"), col("df"), concat_ws(",", col("p")).as("postings"))
+
+  /**
    * Per-source curation report — the domain-level dashboard row a web-scale
    * corpus curator reads before setting crawl/filter policy: per `source`,
    * document counts, distinct-fingerprint counts (the same normalized-md5

@@ -465,6 +465,15 @@ class OpsSpec extends AnyFunSuite {
       (1L, 1L) -> ((1L, 1L, 1.0))))  // user 3 back a week later
   }
 
+  test("invertedIndex: df-filtered, doc-sorted, capped posting lists") {
+    import spark.implicits._
+    val docs = Seq((3L, "b a"), (1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(docs, minDf = 2, maxPostings = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // 'c' has df 1 -> filtered; 'a' df 3 but postings capped at 2 (sorted)
+    assert(got == Map("a" -> ((3L, "1,2")), "b" -> ((2L, "1,3"))))
+  }
+
   test("tokenEntropy: uniform distribution maxes entropy, constant doc is 0") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d"), (2L, "x x x x"), (3L, "a a b b")).toDF("doc_id", "text")

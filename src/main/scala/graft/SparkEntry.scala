@@ -372,6 +372,21 @@ object SparkEntry {
       Sketches.valueHistogram(deg, "deg", 10)
     }),
 
+    // ---- robust median/MAD outliers (order-statistic selection; the
+    // heavy-tail-safe sibling of q_zscore)
+    "q_mad_outliers" -> ((s, dir) =>
+      Sketches.madOutliers(table(s, dir, "events"), "value", "event_type")),
+
+    // ---- distinctive terms per source (source-grain TF-IDF, top-3)
+    "q_source_terms" -> ((s, dir) =>
+      Ranking.sourceTopTerms(docs(s, dir))),
+
+    // ---- per-community Newman modularity over the LPA assignment
+    "q_kg_modularity" -> ((s, dir) => {
+      val e = coEdgesDf(s, dir)
+      GraphAnalytics.modularity(e, GraphAnalytics.labelPropagation(e))
+    }),
+
     // ---- SCD-1 / CDC last-write-wins compaction (latest row per
     // (user_id, event_type); one keyed shuffle, selection only)
     "q_upsert_latest" -> ((s, dir) =>
@@ -815,6 +830,53 @@ object SparkEntry {
        |  round(p.common::DOUBLE / (da.deg + db.deg - p.common)::DOUBLE, 6) AS jaccard
        |FROM prs p JOIN deg da ON da.u = p.entity_a
        |  JOIN deg db ON db.u = p.entity_b""".stripMargin
+
+  /** Modularity oracle: the SAME 3-round LPA unroll as kgCommunitiesOracle
+    * (row_number argmax == min(struct) tiebreak), then integer
+    * intra-edge / degree-mass counts and one rounded contribution
+    * expression per community. Rounds MATERIALIZED — l3 is referenced
+    * three times downstream. */
+  private def kgModularityOracle: String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""$mentionsCte,
+         |cm AS (SELECT DISTINCT conv_id, entity_id FROM mentions),
+         |ce AS MATERIALIZED (SELECT a.entity_id AS ea, b.entity_id AS eb, count(*) AS w
+         |  FROM cm a JOIN cm b ON a.conv_id = b.conv_id
+         |  WHERE a.entity_id < b.entity_id GROUP BY 1, 2),
+         |dir AS MATERIALIZED (SELECT ea AS src, eb AS dst, w FROM ce
+         |  UNION ALL SELECT eb, ea, w FROM ce),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM dir)""".stripMargin
+    for (it <- 1 to 3) {
+      sb ++=
+        s""",
+           |n$it AS MATERIALIZED (SELECT d.src, l.label, sum(d.w) AS w
+           |  FROM dir d JOIN l${it - 1} l ON l.id = d.dst GROUP BY 1, 2),
+           |l$it AS MATERIALIZED (SELECT src AS id, label FROM (
+           |  SELECT src, label,
+           |    row_number() OVER (PARTITION BY src ORDER BY w DESC, label) AS rk
+           |  FROM n$it) WHERE rk = 1)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |, m AS (SELECT count(*) AS m FROM ce),
+         |deg AS (SELECT src AS u, count(*) AS deg FROM dir GROUP BY 1),
+         |intra AS (SELECT la.label AS community, count(*) AS intra_edges
+         |  FROM ce JOIN l3 la ON la.id = ce.ea JOIN l3 lb ON lb.id = ce.eb
+         |  WHERE la.label = lb.label GROUP BY 1),
+         |dsum AS (SELECT l3.label AS community, sum(deg.deg) AS degree_sum,
+         |    count(*) AS n_nodes
+         |  FROM l3 JOIN deg ON deg.u = l3.id GROUP BY 1)
+         |SELECT d.community, d.n_nodes::BIGINT AS n_nodes,
+         |  COALESCE(i.intra_edges, 0)::BIGINT AS intra_edges,
+         |  CAST(d.degree_sum AS BIGINT) AS degree_sum,
+         |  round(COALESCE(i.intra_edges, 0)::DOUBLE / m.m::DOUBLE -
+         |    (d.degree_sum::DOUBLE / (2 * m.m)::DOUBLE) *
+         |    (d.degree_sum::DOUBLE / (2 * m.m)::DOUBLE), 6) AS q_contrib
+         |FROM dsum d LEFT JOIN intra i ON i.community = d.community
+         |  CROSS JOIN m""".stripMargin
+    sb.toString
+  }
 
   /** Degree-distribution oracle: the q_value_hist histogram arithmetic
     * (identical IEEE width/bucket expressions) over the co-mention degree
@@ -1470,6 +1532,7 @@ object SparkEntry {
     "q_kg_kcore" -> kgKcoreOracle,
     "q_kg_nodesim" -> kgNodeSimOracle,
     "q_kg_degree_dist" -> kgDegreeDistOracle,
+    "q_kg_modularity" -> kgModularityOracle,
     "q_kg_pmi" -> kgPmiOracle,
     "q_kg_timeline" -> kgTimelineOracle,
     "q_doc_knn" -> docKnnOracle,
@@ -1785,6 +1848,53 @@ object SparkEntry {
         |  a.n_active::BIGINT AS n_active, s.n_cohort::BIGINT AS n_cohort,
         |  round(a.n_active::DOUBLE / s.n_cohort::DOUBLE, 6) AS retention_rate
         |FROM act a JOIN sizes s USING (cohort_week)""".stripMargin,
+
+    // both medians are SELECTED scaled integers (the q_quantiles rank
+    // trick twice); robust z derives per-row from the same integer pair
+    "q_mad_outliers" ->
+      """WITH scaled AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(round(value * 100) AS BIGINT) AS s FROM events),
+        |r1 AS (SELECT event_type, s,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY s) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM scaled),
+        |med AS MATERIALIZED (SELECT event_type, s AS med_s FROM r1
+        |  WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))),
+        |dev AS MATERIALIZED (
+        |  SELECT e.event_id, e.event_type, e.value, e.s, m.med_s,
+        |    abs(e.s - m.med_s) AS d
+        |  FROM scaled e JOIN med m USING (event_type)),
+        |r2 AS (SELECT event_type, d,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dev),
+        |mad AS MATERIALIZED (SELECT event_type, d AS mad_s FROM r2
+        |  WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)))
+        |SELECT v.event_id, v.event_type, v.value, v.med_s, a.mad_s,
+        |  round((v.s::DOUBLE - v.med_s::DOUBLE) / (1.4826 * a.mad_s::DOUBLE), 6)
+        |    AS robust_z
+        |FROM dev v JOIN mad a USING (event_type)
+        |WHERE a.mad_s > 0
+        |  AND abs((v.s::DOUBLE - v.med_s::DOUBLE) / (1.4826 * a.mad_s::DOUBLE)) > 3.5""".stripMargin,
+
+    // q_tfidf at the source grain: ln over identical doubles, same
+    // (score DESC, term) tiebreak
+    "q_source_terms" ->
+      """WITH tfc AS MATERIALIZED (
+        |  SELECT source, term, count(*) AS tf FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1, 2),
+        |sf AS (SELECT term, count(*)::DOUBLE AS sf FROM tfc GROUP BY 1),
+        |n AS (SELECT count(DISTINCT source)::DOUBLE AS n FROM documents),
+        |scored AS (
+        |  SELECT source, term, tf::BIGINT AS tf,
+        |    round(tf::DOUBLE * ln(n.n / sf.sf), 6) AS score
+        |  FROM tfc JOIN sf USING (term) CROSS JOIN n),
+        |ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY source ORDER BY score DESC, term) AS rk FROM scored)
+        |SELECT source, rk::BIGINT AS rk, term, tf, score
+        |FROM ranked WHERE rk <= 3""".stripMargin,
 
     // sorted-then-capped posting lists; list(ORDER BY) == sort_array, and
     // both engines render BIGINT identically into the comma join

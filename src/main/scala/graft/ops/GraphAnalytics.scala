@@ -280,6 +280,49 @@ object GraphAnalytics {
           .as("jaccard"))
   }
 
+  /**
+   * Per-community Newman modularity contribution — the quality score for a
+   * community assignment (e.g. [[labelPropagation]]'s): for community c,
+   * Q_c = e_c/m − (d_c/2m)², where e_c = intra-community edges, d_c = the
+   * community's degree mass, m = total edges. Positive Q_c means denser
+   * than the random-graph expectation; the sum over communities is the
+   * global modularity.
+   *
+   * Shape at 100 TB: two label joins on the edge list (entity-keyed) + two
+   * community-keyed aggregates; m rides as a 1-row broadcast. No
+   * per-community sequences, so a giant community costs nothing special.
+   *
+   * Determinism: e_c, d_c, m are integers; each contribution is one
+   * rounded expression over them (per-row — the global sum is left to the
+   * reader precisely because a cross-row float fold would need an order
+   * pin).
+   */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("entity_a"), col("entity_b"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val intra = e
+      .join(labels.select(col("entity_id").as("entity_a"), col("community").as("ca")),
+        Seq("entity_a"))
+      .join(labels.select(col("entity_id").as("entity_b"), col("community").as("cb")),
+        Seq("entity_b"))
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("intra_edges"))
+    val deg = e.select(col("entity_a").as("u"))
+      .unionByName(e.select(col("entity_b").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("deg"))
+    val dsum = deg
+      .join(labels.select(col("entity_id").as("u"), col("community")), Seq("u"))
+      .groupBy("community")
+      .agg(sum("deg").as("degree_sum"), count(lit(1)).as("n_nodes"))
+    val halfMass = col("degree_sum").cast("double") / (lit(2L) * col("m")).cast("double")
+    dsum.join(intra, Seq("community"), "left").crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        round(coalesce(col("intra_edges"), lit(0L)).cast("double") /
+          col("m").cast("double") - halfMass * halfMass, 6).as("q_contrib"))
+  }
+
   def triangles(edges: DataFrame): DataFrame = {
     val e = edges.select(col("entity_a"), col("entity_b"))
     val deg = e.select(col("entity_a").as("u"))

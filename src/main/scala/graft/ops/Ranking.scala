@@ -108,4 +108,38 @@ object Ranking {
       .select(col("doc_id"), col("rk").cast("long").as("rk"),
         col("term"), col("tf"), col("tfidf"))
   }
+
+  /**
+   * Distinctive terms per SOURCE — [[tfIdfTopTerms]] lifted from documents
+   * to the source/domain grain: term frequency within the source, inverse
+   * SOURCE frequency across the corpus. The "what is this domain about"
+   * signal a curation dashboard shows next to [[TextAnalysis.sourceReport]].
+   *
+   * Shape at 100 TB: the (source, term) aggregate collapses map-side to
+   * each source's vocabulary; the source-frequency dimension is
+   * vocabulary-sized and joins on the term key; the per-source top-k is a
+   * WindowGroupLimit (map-side k-heaps, never a full sort of the scored
+   * frame). |sources| ≪ |docs| makes every frame after the first
+   * aggregate small.
+   *
+   * Determinism: integer counts, one ln() per row over identical doubles,
+   * (score DESC, term) tiebreak.
+   */
+  def sourceTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tfc = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val sf = tfc.groupBy("term").agg(count(lit(1)).cast("double").as("sf"))
+    val n = docs.select(col("source")).distinct()
+      .agg(count(lit(1)).cast("double").as("n"))
+    val scored = tfc.join(sf, Seq("term")).crossJoin(broadcast(n))
+      .select(col("source"), col("term"), col("tf"),
+        round(col("tf").cast("double") * log(col("n") / col("sf")), 6).as("score"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("score").desc, col("term"))))
+      .where(col("rk") <= k)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("term"), col("tf"), col("score"))
+  }
 }

@@ -155,6 +155,47 @@ object Sketches {
   }
 
   /**
+   * Robust (median/MAD) outlier detection per group — the heavy-tail-safe
+   * sibling of [[zscoreOutliers]]: moments explode under the very outliers
+   * they hunt, medians don't. Flags rows with
+   * |value − median| / (1.4826·MAD) > `threshold`.
+   *
+   * Shape at 100 TB: two rank selections per group (median of the scaled
+   * value, then median of the absolute deviations) — each one group-keyed
+   * shuffle + in-partition sort; the two medians join back as a
+   * groups-sized broadcast. Exact medians inherently co-sort a group's
+   * values; the approximate path at full scale is [[valueHistogram]].
+   *
+   * Determinism: both medians are SELECTED scaled integers (ceil(n/2)-th
+   * order statistics — no interpolation, no float accumulation); the
+   * robust z derives per-row from those integers via one identical
+   * expression tree. Groups with MAD = 0 (majority-constant) are excluded
+   * rather than divided by zero.
+   */
+  def madOutliers(df: DataFrame, valueCol: String, groupCol: String,
+                  threshold: Double = 3.5, scale: Long = 100L): DataFrame = {
+    def medianOf(in: DataFrame, c: String): DataFrame = {
+      val byGroup = Window.partitionBy(groupCol)
+      in.withColumn("rn", row_number().over(byGroup.orderBy(col(c))))
+        .withColumn("n", count(lit(1)).over(byGroup))
+        .where(col("rn") === greatest(lit(1L), ceil(lit(0.5) * col("n")).cast("long")))
+        .select(col(groupCol), col(c).as(s"med_$c"))
+    }
+    val scaled = df.select(col("event_id"), col(groupCol), col(valueCol),
+      round(col(valueCol) * scale, 0).cast("long").as("s"))
+    val med = medianOf(scaled, "s")
+    val dev = scaled.join(broadcast(med), Seq(groupCol))
+      .withColumn("d", abs(col("s") - col("med_s")))
+    val mad = medianOf(dev.select(col(groupCol), col("d")), "d")
+    val z = (col("s").cast("double") - col("med_s").cast("double")) /
+      (lit(1.4826) * col("med_d").cast("double"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .where(col("med_d") > 0 && abs(z) > threshold)
+      .select(col("event_id"), col(groupCol), col(valueCol),
+        col("med_s"), col("med_d").as("mad_s"), round(z, 6).as("robust_z"))
+  }
+
+  /**
    * One-row overlap report between two element sets (same `valueCol`
    * convention on both): sketch sizes, distinct-count estimates for A, B
    * and A∪B, Jaccard and intersection estimates — plus the exact distinct

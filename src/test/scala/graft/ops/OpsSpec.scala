@@ -465,6 +465,49 @@ class OpsSpec extends AnyFunSuite {
       (1L, 1L) -> ((1L, 1L, 1.0))))  // user 3 back a week later
   }
 
+  test("madOutliers: robust to the very outlier moments would absorb") {
+    import spark.implicits._
+    // values 1..9 plus 100 -> median = 5.00 (scaled 500; rank ceil(5) of
+    // n=10); sorted deviations {0,100,100,200,200,300,300,400,400,9500}
+    // -> MAD = 200 (rank 5). The 100.0 is the only |z| > 3.5.
+    val events = ((1L to 9L).map(i => (i, "a", i.toDouble)) :+ ((10L, "a", 100.0)))
+      .toDF("event_id", "event_type", "value")
+    val got = Sketches.madOutliers(df = events, valueCol = "value",
+      groupCol = "event_type").collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(got.keySet == Set(10L))
+    assert(math.abs(got(10L) - 9500.0 / (1.4826 * 200.0)) < 1e-4)
+  }
+
+  test("sourceTopTerms ranks source-distinctive terms, k per source") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha common", "s1"), (2L, "alpha common", "s1"),
+      (3L, "beta common", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Ranking.sourceTopTerms(docs, k = 1).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    // 'common' spans both sources (sf 2 -> ln(1)=0); alpha/beta are the
+    // distinctive winners
+    assert(got == Map("s1" -> "alpha", "s2" -> "beta"))
+  }
+
+  test("modularity: two cliques bridge — positive intra-dense contributions") {
+    import spark.implicits._
+    // K3 {1,2,3} + K3 {4,5,6} + bridge 3-4; communities given exactly
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("entity_a", "entity_b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("entity_id", "community")
+    val got = GraphAnalytics.modularity(edges, labels).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // m=7; each community: 3 intra edges, degree mass 7 (6 clique + 1 bridge)
+    // Q_c = 3/7 - (7/14)^2 = 0.428571 - 0.25 = 0.178571
+    assert(got(1L) == ((3L, 3L, 7L, 0.178571)))
+    assert(got(4L) == ((3L, 3L, 7L, 0.178571)))
+  }
+
   test("invertedIndex: df-filtered, doc-sorted, capped posting lists") {
     import spark.implicits._
     val docs = Seq((3L, "b a"), (1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")

@@ -62,6 +62,33 @@ object StreamingExtraction {
   }
 
   /**
+   * Streaming gap sessionization — the continuous twin of
+   * [[graft.ops.Sessionize.sessions]], expressed with Spark's NATIVE
+   * `session_window` (gap-merged event-time windows) instead of hand-rolled
+   * `flatMapGroupsWithState` state: the built-in operator gets watermark
+   * eviction, state-store sharding by (user, window), and session merge
+   * across micro-batches for free, and its batch-mode semantics are the
+   * same gap segmentation the batch operator computes (parity spec'd).
+   * Append mode emits each session exactly once — when the watermark
+   * passes its close — which is the contract downstream consumers want.
+   *
+   * Scale shape: state is one row per OPEN session (closed sessions are
+   * evicted by the watermark), sharded by user key like the batch
+   * operator's one shuffle; hot users are the same unsalvageable skew.
+   */
+  def streamingSessions(spark: SparkSession, events: DataFrame,
+                        gap: String = "30 minutes",
+                        watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), max("value").as("max_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("max_value"))
+
+  /**
    * Stateful per-conversation tracking via flatMapGroupsWithState: running
    * (turns seen, distinct entities mentioned) per conv_id, one update row
    * per incoming batch per active conversation.

@@ -85,6 +85,34 @@ class StreamingSpec extends AnyFunSuite {
     got.foreach { case (k, v) => assert(exp(k) == v, s"window $k") }
   }
 
+  test("streaming session_window sessions close on watermark and match the batch operator") {
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    // user 1: two sessions (5-min pair, then a lone event 2h later);
+    // user 99's far-future sentinel pushes the watermark past both closes
+    val events = Seq(
+      (1L, ts(0), 1L, "view", 1.0), (1L, ts(5), 2L, "view", 7.0),
+      (1L, ts(120), 3L, "view", 2.0),
+      (99L, ts(60 * 48), 4L, "view", 0.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val dir = Files.createTempDirectory("graftsess").toString
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    val q = StreamingExtraction.streamingSessions(spark, stream)
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sessions_stream").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    // user 1's two closed sessions emitted; the sentinel's own stays open
+    val batch = graft.ops.Sessionize.sessions(events).collect()
+      .map(r => (r.getLong(0), r.getLong(3) / 1000) -> ((r.getLong(2), r.getDouble(5))))
+      .toMap
+    assert(streamed.keySet == Set((1L, 0L), (1L, 120L * 60000L)))
+    streamed.foreach { case (k, v) => assert(batch(k) == v, s"session $k") }
+  }
+
   test("incremental graph: delta snapshots per batch, checkpoint resume, == batch pipeline") {
     import spark.implicits._
     import graft.pipeline.Canonicalize

@@ -387,6 +387,48 @@ object SparkEntry {
       GraphAnalytics.modularity(e, GraphAnalytics.labelPropagation(e))
     }),
 
+    // ---- SPARQL-style basic graph pattern over the materialized graph
+    // (?turn partOf ?conv . ?turn usedTool ?tool . ?conv mentions ?ent),
+    // rolled up to entity-tool affinity counts — the conjunctive-query
+    // surface of a triple store as two variable-keyed self-joins
+    "q_kg_bgp" -> ((s, dir) => {
+      import KgQuery._
+      bgp(graphDf(s, dir), Seq(
+        TriplePattern(V("turn"), C("urn:graft:partOf"), V("conv")),
+        TriplePattern(V("turn"), C("urn:graft:usedTool"), V("tool")),
+        TriplePattern(V("conv"), C("urn:graft:mentions"), V("ent"))))
+        .groupBy("ent", "tool")
+        .agg(countDistinct(col("turn")).as("n_turns"),
+          countDistinct(col("conv")).as("n_convs"))
+    }),
+
+    // ---- VoID-style per-predicate dataset statistics (ontology profile)
+    "q_kg_void" -> ((s, dir) => KgQuery.voidStats(graphDf(s, dir))),
+
+    // ---- min-hop transitive closure (RDFS-materialization engine) over
+    // the containment+mention DAG: turn->conv->entity
+    "q_kg_closure" -> ((s, dir) => {
+      val g = graphDf(s, dir)
+      KgQuery.transitiveClosure(
+        g.where(col("p").isin("urn:graft:partOf", "urn:graft:mentions") &&
+            col("o_kind") === 0)
+          .select(col("s").as("src"), col("o").as("dst")),
+        maxIters = 8)
+    }),
+
+    // ---- filtered deterministic negative sampling for KG-embedding
+    // training (TransE-style tail corruption, zero RNG). Sampled over the
+    // sparse usedTool relation: the sf0.001 mention graph is complete
+    // bipartite (every conv mentions every gazetteer entity), so ALL its
+    // corruptions are true edges and the filtered protocol rightly yields
+    // nothing — usedTool (one tool per turn) is the relation with
+    // informative negatives
+    "q_kg_neg" -> ((s, dir) =>
+      KgQuery.negativeSamples(
+        graphDf(s, dir).where(col("p") === "urn:graft:usedTool")
+          .select(col("s"), col("o")),
+        k = 3)),
+
     // ---- SCD-1 / CDC last-write-wins compaction (latest row per
     // (user_id, event_type); one keyed shuffle, selection only)
     "q_upsert_latest" -> ((s, dir) =>
@@ -1613,6 +1655,59 @@ object SparkEntry {
          |SELECT entity_id, canonical_id FROM canonical""".stripMargin,
 
     "q_kg_triples" -> s"$triplesSql SELECT * FROM triples",
+
+    "q_kg_bgp" ->
+      s"""$triplesSql,
+         |g AS (SELECT DISTINCT s, p, o FROM triples),
+         |b AS (
+         |  SELECT t1.s AS turn, t1.o AS conv, t2.o AS tool, t3.o AS ent
+         |  FROM g t1
+         |  JOIN g t2 ON t2.p = 'urn:graft:usedTool' AND t2.s = t1.s
+         |  JOIN g t3 ON t3.p = 'urn:graft:mentions' AND t3.s = t1.o
+         |  WHERE t1.p = 'urn:graft:partOf')
+         |SELECT ent, tool, count(DISTINCT turn) AS n_turns,
+         |       count(DISTINCT conv) AS n_convs
+         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q_kg_void" ->
+      s"""$triplesSql,
+         |g AS (SELECT DISTINCT s, p, o, o_kind FROM triples)
+         |SELECT p, count(*) AS n_triples, count(DISTINCT s) AS n_subjects,
+         |       count(DISTINCT o) AS n_objects,
+         |       sum(CASE WHEN o_kind = 0 THEN 1 ELSE 0 END)::BIGINT AS n_iri_objects,
+         |       round(count(*)::DOUBLE / count(DISTINCT s)::DOUBLE, 6) AS avg_fanout
+         |FROM g GROUP BY 1""".stripMargin,
+
+    "q_kg_closure" ->
+      s"""$triplesSql,
+         |clo_e AS (SELECT DISTINCT s AS src, o AS dst FROM triples
+         |          WHERE p IN ('urn:graft:partOf', 'urn:graft:mentions') AND o_kind = 0),
+         |clo_paths(src, dst, dist) AS (
+         |  SELECT src, dst, 1 FROM clo_e
+         |  UNION
+         |  SELECT p.src, e.dst, p.dist + 1
+         |  FROM clo_paths p JOIN clo_e e ON e.src = p.dst
+         |  WHERE p.dist < 8)
+         |SELECT src, dst, CAST(min(dist) AS BIGINT) AS dist
+         |FROM clo_paths GROUP BY 1, 2""".stripMargin,
+
+    "q_kg_neg" -> {
+      val hv = Sketches.hexPrefixValueSql(
+        "md5(g.s || '#' || g.o || '#' || CAST(k.kk AS VARCHAR))", 4)
+      s"""$triplesSql,
+         |g AS (SELECT DISTINCT s, o FROM triples WHERE p = 'urn:graft:usedTool'),
+         |ents AS (SELECT DISTINCT o FROM g),
+         |ranked AS (SELECT o AS cand, row_number() OVER (ORDER BY o) - 1 AS idx FROM ents),
+         |nn AS (SELECT count(*) AS n FROM ents),
+         |cand AS (
+         |  SELECT g.s, g.o, k.kk,
+         |         CAST($hv AS BIGINT) % (SELECT n FROM nn) AS idx
+         |  FROM g CROSS JOIN (SELECT unnest(range(1, 4)) AS kk) k)
+         |SELECT c.s, c.o, CAST(c.kk AS BIGINT) AS k, r.cand AS o_neg
+         |FROM cand c JOIN ranked r ON r.idx = c.idx
+         |WHERE r.cand <> c.o
+         |  AND NOT EXISTS (SELECT 1 FROM g p WHERE p.s = c.s AND p.o = r.cand)""".stripMargin
+    },
 
     "q_graph_merge" ->
       s"$triplesSql SELECT DISTINCT s, p, o, o_kind FROM triples",

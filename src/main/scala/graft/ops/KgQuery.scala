@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Declarative query operators over the CONSTRUCTED knowledge graph — the
+ * SPARQL-shaped surface a triple store grows once construction works:
+ * basic-graph-pattern matching, VoID-style dataset statistics, bounded
+ * transitive closure (RDFS-style materialization), and KG-embedding
+ * negative sampling. (The reference stops at COUNT/ASK/SELECT-LIMIT over a
+ * store — `graph_db.py` in `/root/reference/rdfx/` wraps rdflib's `query`;
+ * these re-express the query layer as Spark dataflow over the graph table.)
+ *
+ * Scale shape: a triple table at 10^11 rows is the canonical self-join
+ * workload. Every pattern scan filters its constants FIRST (Catalyst pushes
+ * the `p = <iri>` predicates into the parquet scan of a materialized graph
+ * table), each join keys on the shared variable(s) and hash-partitions on
+ * them, and AQE's skew handling covers celebrity subjects. Pattern order is
+ * the caller's selectivity hint — a cost-based reorder belongs in a
+ * Catalyst rule once table statistics exist, not in the evaluator.
+ */
+object KgQuery {
+
+  /** A term in a triple pattern: either a variable (projected, joinable)
+    * or an IRI/literal constant (filtered at the scan). */
+  sealed trait Term
+  final case class V(name: String) extends Term
+  final case class C(value: String) extends Term
+
+  /** One `?s ?p ?o` pattern over the graph's (s, p, o) columns. */
+  final case class TriplePattern(s: Term, p: Term, o: Term)
+
+  /**
+   * Evaluate a basic graph pattern (conjunctive triple-pattern query) over
+   * a set-semantics graph table, SPARQL-style: each pattern binds its
+   * variables against the graph, patterns join on shared variables, and
+   * the result is one row per distinct binding of all variables.
+   *
+   * Evaluation is a left fold in caller order: constants become scan
+   * predicates (pushed down), a variable repeated WITHIN one pattern
+   * becomes an equality filter, and consecutive frames join on the
+   * intersection of bound variables (a pattern sharing no variable with
+   * the prefix is a genuine cross product — allowed, as in SPARQL, but
+   * the caller should order patterns so it never happens by accident).
+   */
+  def bgp(graph: DataFrame, patterns: Seq[TriplePattern]): DataFrame = {
+    require(patterns.nonEmpty, "empty basic graph pattern")
+    def one(tp: TriplePattern): DataFrame = {
+      val binds = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
+      var df = graph.select(col("s"), col("p"), col("o"))
+      binds.foreach {
+        case (c, C(v)) => df = df.where(col(c) === v)
+        case _         => ()
+      }
+      val varCols = binds.collect { case (c, V(n)) => (c, n) }
+      require(varCols.nonEmpty, "pattern with no variables — use an ASK instead")
+      // ?x p ?x — both positions must carry the same binding
+      varCols.groupBy(_._2).valuesIterator.filter(_.size > 1).foreach { g =>
+        val cs = g.map(_._1)
+        cs.tail.foreach(c => df = df.where(col(cs.head) === col(c)))
+      }
+      val names = varCols.map(_._2).distinct
+      val first = varCols.groupBy(_._2).map { case (n, g) => (n, g.head._1) }
+      // set semantics per pattern: the graph is distinct on (s, p, o) but a
+      // projection onto the variable positions may collapse rows
+      df.select(names.map(n => col(first(n)).as(n)): _*).dropDuplicates(names)
+    }
+    patterns.map(one).reduceLeft { (acc, next) =>
+      val shared = acc.columns.toSet.intersect(next.columns.toSet).toSeq.sorted
+      if (shared.nonEmpty) acc.join(next, shared) else acc.crossJoin(next)
+    }
+  }
+
+  /**
+   * VoID-style dataset statistics (the W3C "Vocabulary of Interlinked
+   * Datasets" per-property partition): for every predicate, triple count,
+   * distinct subjects/objects, IRI-object count, and mean out-fanout —
+   * the profile an ontology engineer (or a join planner) reads before
+   * writing queries. One hash aggregate over the graph table; the two
+   * COUNT DISTINCTs expand to the standard two-phase distinct aggregate.
+   *
+   * Determinism: counts are exact integers; the fanout divides two exact
+   * integer-valued doubles (IEEE division exactly rounded) and rounds 6 dp.
+   */
+  def voidStats(graph: DataFrame): DataFrame =
+    graph.groupBy("p").agg(
+      count(lit(1)).as("n_triples"),
+      countDistinct(col("s")).as("n_subjects"),
+      countDistinct(col("o")).as("n_objects"),
+      sum(when(col("o_kind") === 0, lit(1L)).otherwise(lit(0L))).as("n_iri_objects"),
+      round(count(lit(1)).cast("double") / countDistinct(col("s")).cast("double"), 6)
+        .as("avg_fanout"))
+
+  /**
+   * Minimum-hop transitive closure of a directed edge set — the engine of
+   * RDFS materialization (`rdfs:subClassOf`+, `owl:TransitiveProperty`)
+   * and SPARQL property paths (`p+`). Returns (src, dst, dist) with the
+   * SHORTEST hop count per reachable pair.
+   *
+   * BFS-by-relaxation: each round extends every known path by one edge and
+   * keeps the per-pair minimum. A pair first enters the frame at exactly
+   * its shortest distance, so the loop stops when the pair set stops
+   * growing (min distances are already final at that point). Rounds
+   * shuffle once on the join key and once on the (src, dst) aggregate —
+   * the same two-exchange iterate as PageRank — and each round's frame is
+   * persisted then dropped, so lineage stays one round deep.
+   *
+   * `maxIters` bounds materialized path length: closure over a graph whose
+   * diameter exceeds it is truncated (cyclic inputs are safe — revisited
+   * pairs never improve the min and the pair set saturates).
+   */
+  def transitiveClosure(edges: DataFrame, maxIters: Int = 10): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).dropDuplicates("src", "dst")
+    var paths = e.withColumn("dist", lit(1L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var n = paths.count()
+    var it = 1
+    var converged = false
+    while (!converged && it < maxIters) {
+      val hop = e.select(col("src").as("_hs"), col("dst").as("_hd"))
+      val grown = paths.join(hop, paths("dst") === col("_hs"))
+        .select(paths("src"), col("_hd").as("dst"), (col("dist") + 1L).as("dist"))
+      val next = paths.unionByName(grown)
+        .groupBy("src", "dst").agg(min("dist").as("dist"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m = next.count()
+      paths.unpersist()
+      paths = next
+      converged = m == n
+      n = m
+      it += 1
+    }
+    paths
+  }
+
+  /**
+   * Deterministic negative sampling for KG-embedding training (TransE-family
+   * corruption): for each positive edge (s, o) and sample index k ∈ 1..`k`,
+   * replace o with the entity whose rank is `md5(s#o#k) mod |E|` in the
+   * id-sorted entity vocabulary, then drop self-corruptions and accidental
+   * true edges (the standard filtered-negatives protocol). Zero RNG — the
+   * same corpus yields the same negatives on every engine and every run,
+   * which is what makes training-data builds reproducible.
+   *
+   * Scale shape: the entity vocabulary is a DIMENSION (id + rank), built
+   * with one global-window rank here because a gazetteer-bounded vocabulary
+   * is dimension-sized; a web-scale entity table would zipWithIndex a
+   * sorted snapshot once and reuse it. The rank join and the filtered
+   * anti-join are the only wide ops; the ranked vocabulary broadcasts. The
+   * 16-bit hash (4 md5 nibbles, engine-portable) makes mod-|E| bias
+   * negligible for dimension-sized vocabularies; a 10^9-entity table wants
+   * the full 13-nibble prefix.
+   */
+  def negativeSamples(positives: DataFrame, k: Int): DataFrame = {
+    val pos = positives.select(col("s"), col("o")).dropDuplicates("s", "o")
+    val ents = pos.select(col("o")).distinct()
+    val ranked = ents.select(col("o").as("cand"),
+      (row_number().over(Window.orderBy(col("o"))) - 1).cast("long").as("idx"))
+    val nDf = ents.agg(count(lit(1)).as("n"))
+    val key = concat(col("s"), lit("#"), col("o"), lit("#"), col("kk").cast("string"))
+    pos
+      .select(col("s"), col("o"), explode(sequence(lit(1), lit(k))).as("kk"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("idx", Sketches.hexPrefixValue(md5(key), 4).cast("long") % col("n"))
+      .join(broadcast(ranked), Seq("idx"))
+      .where(col("cand") =!= col("o"))
+      .join(pos.select(col("s"), col("o").as("cand")), Seq("s", "cand"), "left_anti")
+      .select(col("s"), col("o"), col("kk").cast("long").as("k"), col("cand").as("o_neg"))
+  }
+}

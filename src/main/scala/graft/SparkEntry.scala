@@ -582,6 +582,20 @@ object SparkEntry {
     // ---- corpus-trained bigram-LM mean NLL (the perplexity-filter shape)
     "q_perplexity" -> ((s, dir) => NgramQuality.bigramLmScores(docs(s, dir))),
 
+    // ---- DSIR importance-resampling weights (target = English docs)
+    "q_dsir" -> ((s, dir) =>
+      NgramQuality.dsirWeights(docs(s, dir), col("lang") === "en")),
+
+    // ---- CCNet-style boilerplate segment removal (cross-doc repeated
+    // fixed-width token windows dropped; retained text content hashed)
+    "q_boilerplate" -> ((s, dir) => TextAnalysis.boilerplate(docs(s, dir))),
+
+    // ---- count-min-sketch heavy hitters over the token stream (fixed-size
+    // sketch state; estimate = min over depth rows, never an underestimate)
+    "q_cms_hh" -> ((s, dir) =>
+      Sketches.cmsHeavyHitters(
+        docs(s, dir).select(explode(split(col("text"), " ")).as("tok")), "tok")),
+
     // ---- multimodal metadata plumbing (payload synthesized from md5 bytes)
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.assetMetadata(Multimodal.synthesizeAssets(s, docs(s, dir)))),
@@ -2296,6 +2310,64 @@ object SparkEntry {
         |  n::BIGINT AS n_transitions,
         |  round(list_reduce(l, (x, y) -> x + y) / n::DOUBLE, 6) AS mean_nll
         |FROM agg""".stripMargin,
+
+    "q_dsir" ->
+      """WITH toklists AS MATERIALIZED (
+        |  SELECT doc_id, lang = 'en' AS is_target, string_split(text, ' ') AS t FROM documents),
+        |toks AS MATERIALIZED (
+        |  SELECT doc_id, is_target, i AS pos, t[i] AS tok
+        |  FROM toklists, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)),
+        |counts AS MATERIALIZED (
+        |  SELECT tok, count(*) AS c_s,
+        |         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t
+        |  FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS vocab, sum(c_s) AS n_s, sum(c_t) AS n_t FROM counts),
+        |dt AS MATERIALIZED (
+        |  SELECT doc_id, tok, count(*) AS cnt, min(pos) AS pos FROM toks GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.doc_id, d.pos, d.cnt,
+        |      ln((c.c_t + 1)::DOUBLE / (tot.n_t + tot.vocab)::DOUBLE)
+        |    - ln((c.c_s + 1)::DOUBLE / (tot.n_s + tot.vocab)::DOUBLE) AS llr
+        |  FROM dt d JOIN counts c USING (tok) CROSS JOIN tot),
+        |agg AS (SELECT doc_id, list(cnt * llr ORDER BY pos) AS l,
+        |  sum(cnt) AS n FROM scored GROUP BY 1)
+        |SELECT doc_id, n::BIGINT AS n_tokens,
+        |  round(list_reduce(l, (x, y) -> x + y) / n::DOUBLE, 6) AS dsir_weight
+        |FROM agg""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH toklists AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |segs AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |         array_to_string(list_slice(t, i * 8 + 1, i * 8 + 8), ' ') AS seg
+        |  FROM toklists,
+        |    LATERAL (SELECT unnest(range(CAST(ceil(len(t)::DOUBLE / 8) AS BIGINT))) AS i)),
+        |freq AS (SELECT seg, count(DISTINCT doc_id) AS n_docs FROM segs GROUP BY 1)
+        |SELECT s.doc_id,
+        |  count(*) AS n_segments,
+        |  sum(CASE WHEN f.n_docs >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+        |  sum(CASE WHEN f.n_docs < 3 THEN len(string_split(s.seg, ' ')) ELSE 0 END)::BIGINT AS kept_tokens,
+        |  md5(coalesce(string_agg(CASE WHEN f.n_docs < 3 THEN s.seg END, ' ' ORDER BY s.seg_idx), '')) AS retained_md5
+        |FROM segs s JOIN freq f USING (seg)
+        |GROUP BY 1""".stripMargin,
+
+    "q_cms_hh" -> {
+      val hvT = Sketches.hexPrefixValueSql("md5(CAST(r.r AS VARCHAR) || '#' || t.v)", 2)
+      val hvE = Sketches.hexPrefixValueSql("md5(CAST(r.r AS VARCHAR) || '#' || e.v)", 2)
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT unnest(string_split(text, ' ')) AS v FROM documents),
+         |rws AS (SELECT unnest(range(4)) AS r),
+         |counters AS MATERIALIZED (
+         |  SELECT r.r, CAST($hvT AS BIGINT) AS bucket, count(*) AS c
+         |  FROM toks t CROSS JOIN rws r GROUP BY 1, 2),
+         |exact AS (SELECT v, count(*) AS exact_cnt FROM toks GROUP BY 1),
+         |est AS (
+         |  SELECT e.v, e.exact_cnt, min(c.c) AS est_cnt
+         |  FROM exact e CROSS JOIN rws r
+         |  JOIN counters c ON c.r = r.r AND c.bucket = CAST($hvE AS BIGINT)
+         |  GROUP BY 1, 2)
+         |SELECT v AS token, exact_cnt, est_cnt FROM est WHERE est_cnt >= 100""".stripMargin
+    },
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -145,4 +145,53 @@ object NgramQuality {
           / totalCnt.cast("double"), 6)
           .as("mean_nll"))
   }
+
+  /**
+   * DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): score every document by
+   * the mean per-token log-likelihood ratio between a TARGET unigram model
+   * (documents matching `isTarget` — the domain you want more of) and the
+   * SOURCE model (the whole corpus). High weight = looks like the target
+   * domain; resampling by these weights tilts a raw crawl toward it. Both
+   * models are Laplace-smoothed over the shared corpus vocabulary.
+   *
+   * Skew/scale shape mirrors [[bigramLmScores]]: ONE token explode feeds
+   * both count aggregates (map-side combine absorbs Zipf heads), and the
+   * per-document count joins carry the doc-DISTINCT token frame
+   * `(doc_id, tok, cnt, first_pos)` — a hot token joins once per document
+   * containing it, not once per occurrence. Vocabulary size and corpus
+   * totals ride the plan as a broadcast 1-row aggregate.
+   *
+   * Determinism: both log-probs divide exact integer-valued doubles and go
+   * through the SAME `ln` on both engines (the q_perplexity precedent);
+   * the weighted fold is first-position-ordered; result rounded 6 dp.
+   */
+  def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    val toks = docs.select(col("doc_id"), isTarget.as("is_target"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val counts = toks.groupBy("tok").agg(
+      count(lit(1)).as("c_s"),
+      sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("c_t"))
+    val totals = counts.agg(count(lit(1)).as("vocab"),
+      sum(col("c_s")).as("n_s"), sum(col("c_t")).as("n_t"))
+    val docToks = toks.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("cnt"), min("pos").as("pos"))
+    val scored = docToks
+      .join(counts, Seq("tok"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("pos"), col("cnt"),
+        (log((col("c_t") + 1).cast("double") / (col("n_t") + col("vocab")).cast("double")) -
+          log((col("c_s") + 1).cast("double") / (col("n_s") + col("vocab")).cast("double")))
+          .as("llr"))
+    val totalCnt = aggregate(col("parts"), lit(0L),
+      (acc, x) => acc + x.getField("cnt"))
+    scored.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cnt"), col("llr")))).as("parts"))
+      .select(col("doc_id"),
+        totalCnt.as("n_tokens"),
+        round(aggregate(col("parts"), lit(0.0),
+          (acc, x) => acc + x.getField("cnt").cast("double") * x.getField("llr"))
+          / totalCnt.cast("double"), 6)
+          .as("dsir_weight"))
+  }
 }

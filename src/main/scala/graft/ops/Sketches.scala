@@ -237,4 +237,42 @@ object Sketches {
         round(col("shared").cast("double") / col("ku"), 6).as("est_jaccard"),
         round(col("shared").cast("double") / col("ku") * estU, 6).as("est_intersection"))
   }
+
+  /**
+   * Count-min-sketch heavy hitters: `depth` independent md5-derived hash
+   * rows × `16^widthNibbles` buckets, each element incrementing one counter
+   * per row; a value's estimate is the MINIMUM of its `depth` counters —
+   * an overestimate by at most the collision mass, never an underestimate.
+   * Values whose estimate clears `threshold` are reported with both the
+   * estimate and the exact count, so the overestimate bound is visible
+   * (and verifiable) at test scale.
+   *
+   * Shape at 100 TB: the sketch state is FIXED SIZE (`depth × width`
+   * counters) regardless of corpus size — one explode and one hash
+   * aggregate build it, with the Zipf head absorbed map-side per
+   * partition. The candidate pass here scores the full distinct vocabulary
+   * (needed to report exact counts); a production stream queries the
+   * broadcast sketch for candidate keys only and skips the exact join.
+   *
+   * Determinism: md5-nibble bucket arithmetic is engine-portable
+   * ([[hexPrefixValue]]), all counters are exact integers, and min() over
+   * integers has no float order.
+   */
+  def cmsHeavyHitters(elems: DataFrame, valueCol: String, depth: Int = 4,
+                      widthNibbles: Int = 2, threshold: Long = 100): DataFrame = {
+    def bucket(v: Column, r: Column): Column =
+      hexPrefixValue(md5(concat(r.cast("string"), lit("#"), v)), widthNibbles)
+        .cast("long")
+    val rows = explode(sequence(lit(0), lit(depth - 1)))
+    val counters = elems.select(col(valueCol).as("v"), rows.as("r"))
+      .select(col("r"), bucket(col("v"), col("r")).as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+    elems.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("exact_cnt"))
+      .select(col("v"), col("exact_cnt"), rows.as("r"))
+      .withColumn("bucket", bucket(col("v"), col("r")))
+      .join(counters, Seq("r", "bucket"))
+      .groupBy("v", "exact_cnt").agg(min(col("c")).as("est_cnt"))
+      .where(col("est_cnt") >= threshold)
+      .select(col("v").as("token"), col("exact_cnt"), col("est_cnt"))
+  }
 }

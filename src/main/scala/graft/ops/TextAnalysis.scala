@@ -228,4 +228,46 @@ object TextAnalysis {
         round(col("total_chars").cast("double") / col("n_docs").cast("double"), 6)
           .as("avg_chars"))
   }
+
+  /**
+   * Boilerplate removal, CCNet/C4-style: segment every document into
+   * fixed-width non-overlapping token windows (the "line" proxy for a
+   * corpus without newline structure), count how many DISTINCT documents
+   * each exact segment occurs in, and drop segments shared by `minDocs`+
+   * documents — nav bars, license footers, and template text repeat
+   * verbatim across pages; real content doesn't. Returns per document:
+   * segment counts, removed-segment count, kept token mass, and the md5 of
+   * the retained text (segments re-joined in document order) so a
+   * downstream verifier can check actual content, not just counts.
+   *
+   * Shape at 100 TB: one explode + ONE hash aggregate keyed on segment
+   * text (map-side combine collapses repeats per partition; the md5-sized
+   * key could replace raw text in the exchange for very long windows),
+   * then a doc-keyed rollup. The hot key is the boilerplate itself —
+   * exactly the key hash aggregation absorbs map-side. Never all-pairs.
+   *
+   * Determinism: exact string segments (no hashing in the dedup decision),
+   * integer counts, and the retained text concatenates kept segments
+   * ordered by segment index.
+   */
+  def boilerplate(docs: DataFrame, window: Int = 8, minDocs: Int = 3): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nseg = ceil(size(toks).cast("double") / window).cast("int")
+    val segs = docs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), nseg - 1),
+        i => concat_ws(" ", slice(toks, i * window + 1, lit(window)))))
+        .as(Seq("seg_idx", "seg")))
+    val freq = segs.groupBy("seg").agg(countDistinct(col("doc_id")).as("n_docs"))
+    val kept = filter(
+      array_sort(collect_list(struct(col("seg_idx"), col("seg"), col("n_docs")))),
+      x => x.getField("n_docs") < minDocs)
+    segs.join(freq, Seq("seg"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("n_docs") >= minDocs, lit(1L)).otherwise(lit(0L))).as("n_removed"),
+        sum(when(col("n_docs") < minDocs, size(split(col("seg"), " ")).cast("long"))
+          .otherwise(lit(0L))).as("kept_tokens"),
+        md5(array_join(transform(kept, x => x.getField("seg")), " ")).as("retained_md5"))
+  }
 }

@@ -402,6 +402,33 @@ object SparkEntry {
           countDistinct(col("conv")).as("n_convs"))
     }),
 
+    // ---- SPARQL OPTIONAL (left-join algebra): every turn with its tool
+    // when one exists, null otherwise — rolled up per conversation
+    "q_kg_bgp_opt" -> ((s, dir) => {
+      import KgQuery._
+      bgpOptional(graphDf(s, dir),
+        Seq(TriplePattern(V("turn"), C("urn:graft:partOf"), V("conv"))),
+        Seq(Seq(TriplePattern(V("turn"), C("urn:graft:usedTool"), V("tool")))))
+        .groupBy("conv")
+        .agg(countDistinct(col("turn")).as("n_turns"),
+          count(col("tool")).as("n_tool_turns"),
+          countDistinct(col("tool")).as("n_tools"))
+    }),
+
+    // ---- SPARQL CONSTRUCT (KG enrichment loop): co-mention pairs
+    // materialized back into graph triples, both directions
+    "q_kg_construct" -> ((s, dir) => {
+      import KgQuery._
+      val b = bgp(graphDf(s, dir), Seq(
+        TriplePattern(V("conv"), C("urn:graft:mentions"), V("e1")),
+        TriplePattern(V("conv"), C("urn:graft:mentions"), V("e2"))))
+        .where(col("e1") < col("e2"))
+        .select("e1", "e2").distinct()
+      construct(b, Seq(
+        (V("e1"), C("urn:graft:coMentioned"), V("e2"), 0),
+        (V("e2"), C("urn:graft:coMentionedBy"), V("e1"), 0)))
+    }),
+
     // ---- VoID-style per-predicate dataset statistics (ontology profile)
     "q_kg_void" -> ((s, dir) => KgQuery.voidStats(graphDf(s, dir))),
 
@@ -428,6 +455,12 @@ object SparkEntry {
         graphDf(s, dir).where(col("p") === "urn:graft:usedTool")
           .select(col("s"), col("o")),
         k = 3)),
+
+    // ---- deterministic DeepWalk corpus over the co-mention entity graph
+    // (2 walks × 4 steps per node; md5-ranked neighbor choice, zero RNG)
+    "q_kg_walks" -> ((s, dir) =>
+      KgQuery.randomWalks(
+        coEdgesDf(s, dir).select(col("entity_a").as("src"), col("entity_b").as("dst")))),
 
     // ---- SCD-1 / CDC last-write-wins compaction (latest row per
     // (user_id, event_type); one keyed shuffle, selection only)
@@ -1683,6 +1716,28 @@ object SparkEntry {
          |       count(DISTINCT conv) AS n_convs
          |FROM b GROUP BY 1, 2""".stripMargin,
 
+    "q_kg_bgp_opt" ->
+      s"""$triplesSql,
+         |g AS (SELECT DISTINCT s, p, o FROM triples),
+         |req AS (SELECT s AS turn, o AS conv FROM g WHERE p = 'urn:graft:partOf'),
+         |opt AS (SELECT s AS turn, o AS tool FROM g WHERE p = 'urn:graft:usedTool'),
+         |b AS (SELECT r.conv, r.turn, o.tool
+         |      FROM req r LEFT JOIN opt o ON o.turn = r.turn)
+         |SELECT conv, count(DISTINCT turn) AS n_turns,
+         |       count(tool) AS n_tool_turns,
+         |       count(DISTINCT tool) AS n_tools
+         |FROM b GROUP BY 1""".stripMargin,
+
+    "q_kg_construct" ->
+      s"""$triplesSql,
+         |g AS (SELECT DISTINCT s, o FROM triples WHERE p = 'urn:graft:mentions'),
+         |pairs AS (SELECT DISTINCT a.o AS e1, b.o AS e2
+         |          FROM g a JOIN g b ON a.s = b.s WHERE a.o < b.o)
+         |SELECT e1 AS s, 'urn:graft:coMentioned' AS p, e2 AS o,
+         |       CAST(0 AS BIGINT) AS o_kind FROM pairs
+         |UNION
+         |SELECT e2, 'urn:graft:coMentionedBy', e1, CAST(0 AS BIGINT) FROM pairs""".stripMargin,
+
     "q_kg_void" ->
       s"""$triplesSql,
          |g AS (SELECT DISTINCT s, p, o, o_kind FROM triples)
@@ -1704,6 +1759,38 @@ object SparkEntry {
          |  WHERE p.dist < 8)
          |SELECT src, dst, CAST(min(dist) AS BIGINT) AS dist
          |FROM clo_paths GROUP BY 1, 2""".stripMargin,
+
+    "q_kg_walks" -> {
+      def hv(step: Int) = Sketches.hexPrefixValueSql(
+        s"md5(start || '#' || CAST(w AS VARCHAR) || '#$step#' || cur)", 4)
+      val sb = new StringBuilder
+      sb ++=
+        s"""$mentionsCte,
+           |cm AS (SELECT DISTINCT conv_id, entity_id FROM mentions),
+           |ce AS (SELECT a.entity_id AS ea, b.entity_id AS eb
+           |  FROM cm a JOIN cm b ON a.conv_id = b.conv_id
+           |  WHERE a.entity_id < b.entity_id GROUP BY 1, 2),
+           |wdir AS (SELECT ea AS src, eb AS dst FROM ce UNION SELECT eb, ea FROM ce),
+           |nbr AS (SELECT src, dst,
+           |  row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx FROM wdir),
+           |dg AS (SELECT src, count(*) AS deg FROM wdir GROUP BY 1),
+           |w0 AS (SELECT n.src AS start, k.w, n.src AS cur, n.src AS path
+           |  FROM (SELECT DISTINCT src FROM wdir) n
+           |  CROSS JOIN (SELECT unnest(range(1, 3)) AS w) k)""".stripMargin
+      for (step <- 1 to 4) {
+        sb ++=
+          s""",
+             |w$step AS (SELECT start, w, n.dst AS cur, path || ' ' || n.dst AS path
+             |  FROM w${step - 1} p JOIN dg d ON d.src = p.cur
+             |  JOIN nbr n ON n.src = p.cur
+             |    AND n.idx = CAST(${hv(step)} AS BIGINT) % d.deg)""".stripMargin
+      }
+      sb ++=
+        s"""
+           |SELECT start AS start_node, CAST(w AS BIGINT) AS walk_id,
+           |       cur AS end_node, path FROM w4""".stripMargin
+      sb.toString
+    },
 
     "q_kg_neg" -> {
       val hv = Sketches.hexPrefixValueSql(

@@ -74,6 +74,47 @@ object KgQuery {
   }
 
   /**
+   * SPARQL OPTIONAL: evaluate the required BGP, then left-join each
+   * optional pattern GROUP on its shared variables — bindings that match
+   * the optional side carry its variables, the rest carry nulls (never
+   * dropped). Each group is itself a BGP (its patterns must hold
+   * together). Mirrors SPARQL's left-outer-join algebra for the common
+   * well-designed-pattern case (every optional group shares at least one
+   * variable with the required part — enforced, because an unshared
+   * optional is a cross product that silently multiplies bindings).
+   */
+  def bgpOptional(graph: DataFrame, required: Seq[TriplePattern],
+                  optional: Seq[Seq[TriplePattern]]): DataFrame =
+    optional.foldLeft(bgp(graph, required)) { (acc, group) =>
+      val opt = bgp(graph, group)
+      val shared = acc.columns.toSet.intersect(opt.columns.toSet).toSeq.sorted
+      require(shared.nonEmpty,
+        s"optional group ${group.mkString(", ")} shares no variable with the required pattern")
+      acc.join(opt, shared, "left_outer")
+    }
+
+  /**
+   * SPARQL CONSTRUCT: instantiate template triples from every binding row
+   * — the enrichment loop of a KG pipeline (derive new edges from query
+   * results and write them back into the graph). Template positions are
+   * either variables (looked up in the bindings) or constants; `oKind` is
+   * per-template. Output is set-semantics (s, p, o, o_kind), union-merged
+   * across templates, ready for [[graft.rdf.GraphOps]] / catalog append.
+   */
+  def construct(bindings: DataFrame,
+                templates: Seq[(Term, Term, Term, Int)]): DataFrame = {
+    require(templates.nonEmpty, "CONSTRUCT with no template")
+    def term(t: Term): Column = t match {
+      case V(n) => col(n)
+      case C(v) => lit(v)
+    }
+    templates.map { case (s, p, o, kind) =>
+      bindings.select(term(s).as("s"), term(p).as("p"), term(o).as("o"),
+        lit(kind.toLong).as("o_kind"))
+    }.reduceLeft(_ unionByName _).dropDuplicates("s", "p", "o", "o_kind")
+  }
+
+  /**
    * VoID-style dataset statistics (the W3C "Vocabulary of Interlinked
    * Datasets" per-property partition): for every predicate, triple count,
    * distinct subjects/objects, IRI-object count, and mean out-fanout —
@@ -133,6 +174,53 @@ object KgQuery {
       it += 1
     }
     paths
+  }
+
+  /**
+   * Deterministic random-walk corpus for DeepWalk/node2vec-style KG
+   * embeddings: `walksPerNode` walks of length `walkLen` start at every
+   * node of the (symmetrized) edge list; the "random" neighbor at each
+   * step is the one ranked `md5(start#walk#step#current) mod degree` among
+   * the current node's id-sorted neighbors. Zero RNG — the walk corpus is
+   * bit-identical across engines and reruns, which is what makes the
+   * downstream embedding training reproducible.
+   *
+   * Shape at 100 TB: the neighbor table (src, dst, idx) is built with ONE
+   * per-source window (partitioned rank, no global ordering) and each of
+   * the `walkLen` unrolled steps is one hash join keyed on the current
+   * node — the iterate-join dataflow of every frontier algorithm here.
+   * Degree skew (celebrity nodes) lands on the join's build side and AQE
+   * splits it; the walk frame itself stays exactly
+   * `nodes × walksPerNode` rows through every step.
+   *
+   * Dead ends cannot occur on a symmetrized graph (every node that enters
+   * the edge list has degree ≥ 1), so the inner joins preserve all walks.
+   */
+  def randomWalks(edges: DataFrame, walksPerNode: Int = 2, walkLen: Int = 4): DataFrame = {
+    val dir = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .dropDuplicates("src", "dst")
+    val nbr = dir.select(col("src").as("nsrc"), col("dst").as("ndst"),
+      (row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
+        .cast("long").as("idx"))
+    val deg = nbr.groupBy(col("nsrc").as("dsrc")).agg(count(lit(1)).as("deg"))
+    var frame = dir.select(col("src")).distinct()
+      .select(col("src").as("start"),
+        explode(sequence(lit(1), lit(walksPerNode))).as("w"))
+      .select(col("start"), col("w"), col("start").as("cur"),
+        col("start").as("path"))
+    for (step <- 1 to walkLen) {
+      val key = concat(col("start"), lit("#"), col("w").cast("string"),
+        lit("#"), lit(step.toString), lit("#"), col("cur"))
+      frame = frame
+        .join(deg, frame("cur") === deg("dsrc"))
+        .withColumn("pick", Sketches.hexPrefixValue(md5(key), 4).cast("long") % col("deg"))
+        .join(nbr, col("cur") === col("nsrc") && col("pick") === col("idx"))
+        .select(col("start"), col("w"), col("ndst").as("cur"),
+          concat(col("path"), lit(" "), col("ndst")).as("path"))
+    }
+    frame.select(col("start").as("start_node"), col("w").cast("long").as("walk_id"),
+      col("cur").as("end_node"), col("path"))
   }
 
   /**

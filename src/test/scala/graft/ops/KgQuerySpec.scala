@@ -55,6 +55,34 @@ class KgQuerySpec extends AnyFunSuite {
     assert(got == Set(("s1", "u1"), ("s2", "u1")))
   }
 
+  test("bgpOptional keeps unmatched bindings with nulls, rejects unshared groups") {
+    val g = graph(
+      ("t1", "partOf", "c1", 0L), ("t2", "partOf", "c1", 0L),
+      ("t1", "tool", "grep", 2L))
+    val got = bgpOptional(g,
+      Seq(TriplePattern(V("turn"), C("partOf"), V("conv"))),
+      Seq(Seq(TriplePattern(V("turn"), C("tool"), V("tl")))))
+      .collect().map(r => r.getAs[String]("turn") -> Option(r.getAs[String]("tl"))).toMap
+    assert(got == Map("t1" -> Some("grep"), "t2" -> None))
+    assertThrows[IllegalArgumentException] {
+      bgpOptional(g,
+        Seq(TriplePattern(V("turn"), C("partOf"), V("conv"))),
+        Seq(Seq(TriplePattern(V("x"), C("tool"), V("y")))))
+    }
+  }
+
+  test("construct instantiates templates per binding, set semantics") {
+    import spark.implicits._
+    val bindings = Seq(("e1", "e2"), ("e1", "e3"), ("e1", "e2")).toDF("a", "b")
+    val got = construct(bindings, Seq(
+      (V("a"), C("linked"), V("b"), 0),
+      (C("urn:meta"), C("derivedFrom"), V("a"), 0)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("e1", "linked", "e2", 0L), ("e1", "linked", "e3", 0L),
+      ("urn:meta", "derivedFrom", "e1", 0L)))
+  }
+
   test("voidStats profiles each predicate") {
     val g = graph(
       ("s1", "p1", "o1", 0L), ("s1", "p1", "o2", 0L), ("s2", "p1", "o1", 0L),
@@ -89,6 +117,30 @@ class KgQuerySpec extends AnyFunSuite {
     val trunc = transitiveClosure(chain, maxIters = 2).collect()
       .map(r => r.getLong(2)).max
     assert(trunc == 2L)
+  }
+
+  test("randomWalks emits valid, deterministic fixed-length walks") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")).toDF("src", "dst")
+    val edgeSet = Set("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d")
+      .flatMap { case (u, v) => Set(u -> v, v -> u) }
+    val rows = KgQuery.randomWalks(e, walksPerNode = 2, walkLen = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+    // every node starts exactly walksPerNode walks
+    assert(rows.length == 4 * 2)
+    rows.foreach { case (start, w, end, path) =>
+      val hops = path.split(" ")
+      assert(hops.length == 4, s"walk $path must have walkLen+1 nodes")
+      assert(hops.head == start && hops.last == end)
+      hops.sliding(2).foreach { p =>
+        assert(edgeSet.contains(p(0) -> p(1)), s"$path uses non-edge ${p.toList}")
+      }
+      assert(w == 1L || w == 2L)
+    }
+    // bit-identical on re-evaluation
+    val again = KgQuery.randomWalks(e, walksPerNode = 2, walkLen = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(rows.sorted.sameElements(again.sorted))
   }
 
   test("negativeSamples are deterministic, non-true, non-self, k-indexed") {

@@ -429,6 +429,43 @@ object SparkEntry {
         (V("e2"), C("urn:graft:coMentionedBy"), V("e1"), 0)))
     }),
 
+    // ---- SPARQL MINUS (anti-join algebra): tool-free turns per
+    // conversation and role — the complement of the usedTool pattern
+    "q_kg_minus" -> ((s, dir) => {
+      import KgQuery._
+      bgpMinus(graphDf(s, dir),
+        Seq(TriplePattern(V("turn"), C("urn:graft:partOf"), V("conv")),
+          TriplePattern(V("turn"), C("urn:graft:role"), V("role"))),
+        Seq(TriplePattern(V("turn"), C("urn:graft:usedTool"), V("tool"))))
+        .groupBy("conv", "role")
+        .agg(countDistinct(col("turn")).as("n_tool_free_turns"))
+    }),
+
+    // ---- SPARQL VALUES (inline binding table): restrict role bindings to
+    // a caller-provided parameter list (one present, one absent)
+    "q_kg_values" -> ((s, dir) => {
+      import KgQuery._
+      import s.implicits._
+      val vals = Seq("user", "moderator").toDF("role")
+      valuesJoin(
+        bgp(graphDf(s, dir), Seq(
+          TriplePattern(V("turn"), C("urn:graft:role"), V("role")),
+          TriplePattern(V("turn"), C("urn:graft:partOf"), V("conv")))),
+        vals)
+        .groupBy("role")
+        .agg(countDistinct(col("turn")).as("n_turns"),
+          countDistinct(col("conv")).as("n_convs"))
+    }),
+
+    // ---- SPARQL DESCRIBE: full symmetric description of the 5
+    // lexicographically-first entities (deterministic resource pick)
+    "q_kg_describe" -> ((s, dir) => {
+      val g = graphDf(s, dir)
+      val res = g.where(col("p") === "urn:graft:mentions")
+        .select(col("o")).distinct().orderBy("o").limit(5)
+      KgQuery.describe(g, res).select("s", "p", "o", "o_kind")
+    }),
+
     // ---- VoID-style per-predicate dataset statistics (ontology profile)
     "q_kg_void" -> ((s, dir) => KgQuery.voidStats(graphDf(s, dir))),
 
@@ -1737,6 +1774,37 @@ object SparkEntry {
          |       CAST(0 AS BIGINT) AS o_kind FROM pairs
          |UNION
          |SELECT e2, 'urn:graft:coMentionedBy', e1, CAST(0 AS BIGINT) FROM pairs""".stripMargin,
+
+    "q_kg_minus" ->
+      s"""$triplesSql,
+         |g AS (SELECT DISTINCT s, p, o FROM triples),
+         |req AS (SELECT t1.s AS turn, t1.o AS conv, t2.o AS role
+         |        FROM g t1 JOIN g t2 ON t2.s = t1.s AND t2.p = 'urn:graft:role'
+         |        WHERE t1.p = 'urn:graft:partOf'),
+         |mn AS (SELECT DISTINCT s AS turn FROM g WHERE p = 'urn:graft:usedTool')
+         |SELECT r.conv, r.role, count(DISTINCT r.turn) AS n_tool_free_turns
+         |FROM req r LEFT JOIN mn ON mn.turn = r.turn
+         |WHERE mn.turn IS NULL GROUP BY 1, 2""".stripMargin,
+
+    "q_kg_values" ->
+      s"""$triplesSql,
+         |g AS (SELECT DISTINCT s, p, o FROM triples),
+         |v(role) AS (VALUES ('user'), ('moderator')),
+         |b AS (SELECT t1.s AS turn, t1.o AS role, t2.o AS conv
+         |      FROM g t1 JOIN g t2 ON t2.s = t1.s AND t2.p = 'urn:graft:partOf'
+         |      JOIN v ON v.role = t1.o
+         |      WHERE t1.p = 'urn:graft:role')
+         |SELECT role, count(DISTINCT turn) AS n_turns,
+         |       count(DISTINCT conv) AS n_convs
+         |FROM b GROUP BY 1""".stripMargin,
+
+    "q_kg_describe" ->
+      s"""$triplesSql,
+         |g AS (SELECT DISTINCT s, p, o, o_kind FROM triples),
+         |r AS (SELECT DISTINCT o FROM g WHERE p = 'urn:graft:mentions'
+         |      ORDER BY o LIMIT 5)
+         |SELECT DISTINCT g.s, g.p, g.o, g.o_kind
+         |FROM g JOIN r ON g.s = r.o OR g.o = r.o""".stripMargin,
 
     "q_kg_void" ->
       s"""$triplesSql,

@@ -115,6 +115,63 @@ object KgQuery {
   }
 
   /**
+   * SPARQL MINUS: remove from the required bindings every row that is
+   * compatible (equal on the shared variables) with some binding of the
+   * minus-side BGP — an anti-join on the shared variables. Per the SPARQL
+   * algebra, a minus group sharing NO variable with the required side
+   * removes nothing (disjoint domains are never "compatible"), so that
+   * case returns the required bindings unchanged rather than erroring —
+   * the one place MINUS and FILTER NOT EXISTS genuinely differ.
+   *
+   * Scale shape: one left-anti hash join keyed on the shared variables;
+   * the minus side is projected to exactly those variables and
+   * deduplicated first, so the anti-join's build input is as small as the
+   * distinct key set.
+   */
+  def bgpMinus(graph: DataFrame, required: Seq[TriplePattern],
+               minusGroup: Seq[TriplePattern]): DataFrame = {
+    val req = bgp(graph, required)
+    val mns = bgp(graph, minusGroup)
+    val shared = req.columns.toSet.intersect(mns.columns.toSet).toSeq.sorted
+    if (shared.isEmpty) req
+    else req.join(mns.select(shared.map(col): _*).dropDuplicates(shared),
+      shared, "left_anti")
+  }
+
+  /**
+   * SPARQL VALUES: constrain (and optionally extend) a binding frame with
+   * an inline table of bindings — an inner join on the variables the two
+   * sides share. The values table is caller-provided data, not a graph
+   * pattern, which is exactly VALUES' role in federation and
+   * parameterized queries. It is dimension-sized by definition, so it
+   * broadcasts; rows are deduplicated first (VALUES is bag-semantics in
+   * SPARQL, but this layer is set-semantics throughout, like [[bgp]]).
+   */
+  def valuesJoin(bindings: DataFrame, values: DataFrame): DataFrame = {
+    val shared = bindings.columns.toSet.intersect(values.columns.toSet).toSeq.sorted
+    require(shared.nonEmpty, "VALUES block shares no variable with the pattern")
+    bindings.join(broadcast(values.dropDuplicates()), shared)
+  }
+
+  /**
+   * SPARQL DESCRIBE (concise symmetric description): every triple whose
+   * subject OR object is in the resource set — the "show me everything
+   * about these IRIs" query an entity page or a debugging session issues.
+   *
+   * The resource set is one column, distinct, and assumed dimension-sized
+   * (a DESCRIBE of 10^9 resources is a full graph export, not a query) —
+   * it broadcasts into two semi-joins (one keyed on s, one on o; an OR
+   * join predicate would force a nested loop), unioned with set semantics.
+   */
+  def describe(graph: DataFrame, resources: DataFrame): DataFrame = {
+    val r = broadcast(
+      resources.select(col(resources.columns.head).as("_r")).distinct())
+    graph.join(r, col("s") === col("_r"), "left_semi")
+      .unionByName(graph.join(r, col("o") === col("_r"), "left_semi"))
+      .dropDuplicates("s", "p", "o")
+  }
+
+  /**
    * VoID-style dataset statistics (the W3C "Vocabulary of Interlinked
    * Datasets" per-property partition): for every predicate, triple count,
    * distinct subjects/objects, IRI-object count, and mean out-fanout —

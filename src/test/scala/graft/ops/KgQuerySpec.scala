@@ -83,6 +83,46 @@ class KgQuerySpec extends AnyFunSuite {
       ("urn:meta", "derivedFrom", "e1", 0L)))
   }
 
+  test("bgpMinus removes compatible bindings; disjoint minus removes nothing") {
+    val g = graph(
+      ("c1", "mentions", "e1", 0L), ("c2", "mentions", "e2", 0L),
+      ("t1", "partOf", "c1", 0L), ("t1", "usedTool", "grep", 2L))
+    val got = bgpMinus(g,
+      Seq(TriplePattern(V("conv"), C("mentions"), V("e"))),
+      Seq(TriplePattern(V("turn"), C("partOf"), V("conv")),
+        TriplePattern(V("turn"), C("usedTool"), V("tool"))))
+      .collect().map(r => r.getAs[String]("conv")).toSet
+    assert(got == Set("c2"))
+    // minus side binds no shared variable -> SPARQL keeps everything
+    val disjoint = bgpMinus(g,
+      Seq(TriplePattern(V("conv"), C("mentions"), V("e"))),
+      Seq(TriplePattern(V("x"), C("usedTool"), V("y"))))
+      .collect().map(_.getAs[String]("conv")).toSet
+    assert(disjoint == Set("c1", "c2"))
+  }
+
+  test("valuesJoin restricts to inline bindings, rejects unshared tables") {
+    import spark.implicits._
+    val g = graph(("t1", "role", "user", 2L), ("t2", "role", "assistant", 2L))
+    val b = bgp(g, Seq(TriplePattern(V("turn"), C("role"), V("role"))))
+    val got = valuesJoin(b, Seq("user", "moderator").toDF("role"))
+      .collect().map(r => r.getAs[String]("turn") -> r.getAs[String]("role")).toSet
+    assert(got == Set("t1" -> "user"))
+    assertThrows[IllegalArgumentException] {
+      valuesJoin(b, Seq("x").toDF("unrelated"))
+    }
+  }
+
+  test("describe returns triples where the resource is subject OR object") {
+    import spark.implicits._
+    val g = graph(
+      ("e1", "type", "Person", 0L), ("c1", "mentions", "e1", 0L),
+      ("c2", "mentions", "e2", 0L))
+    val got = KgQuery.describe(g, Seq("e1").toDF("r"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("e1", "type", "Person"), ("c1", "mentions", "e1")))
+  }
+
   test("voidStats profiles each predicate") {
     val g = graph(
       ("s1", "p1", "o1", 0L), ("s1", "p1", "o2", 0L), ("s2", "p1", "o1", 0L),

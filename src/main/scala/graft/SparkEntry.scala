@@ -358,6 +358,17 @@ object SparkEntry {
     "q_zscore" -> ((s, dir) =>
       Sketches.zscoreOutliers(table(s, dir, "events"), "value", "event_type")),
 
+    // ---- ANALYZE-style per-column table profile (one aggregation pass;
+    // exact NDV here for the oracle, HLL++ mode for the 10^11-row path)
+    "q_profile" -> ((s, dir) =>
+      Profile.profile(table(s, dir, "events"),
+        Seq("event_id", "user_id", "event_type", "value"))),
+
+    // ---- per-source weekly distribution-drift monitor (scaled-integer
+    // moments, standard-error z per week, no second scan of the raw table)
+    "q_drift" -> ((s, dir) =>
+      Profile.driftMonitor(table(s, dir, "events"), "value", "event_type")),
+
     // ---- inverted index (term -> sorted capped posting list; df exact)
     "q_inverted_index" -> ((s, dir) =>
       TextAnalysis.invertedIndex(docs(s, dir))),
@@ -2220,6 +2231,52 @@ object SparkEntry {
         |WHERE abs((e.s::DOUBLE - m.sum_s::DOUBLE / m.n::DOUBLE) /
         |    sqrt(m.sumsq_s::DOUBLE / m.n::DOUBLE -
         |         (m.sum_s::DOUBLE / m.n::DOUBLE) * (m.sum_s::DOUBLE / m.n::DOUBLE))) > 2.0""".stripMargin,
+
+    "q_profile" -> {
+      def row(c: String, numeric: Boolean) = {
+        val (mn, mx, ms, xs) =
+          if (numeric) (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)",
+            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+          else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+            s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+           |  $mn AS min_num, $mx AS max_num, $ms AS min_str, $xs AS max_str
+           |FROM events""".stripMargin
+      }
+      Seq(row("event_id", numeric = true), row("user_id", numeric = true),
+        row("event_type", numeric = false), row("value", numeric = true))
+        .mkString("\nUNION ALL\n")
+    },
+
+    "q_drift" ->
+      """WITH scaled AS (
+        |  SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+        |    CAST(round(value * 100) AS BIGINT) AS sv FROM events),
+        |weekly AS (
+        |  SELECT event_type, week, count(*) AS n_week, sum(sv) AS sum_week,
+        |    sum(sv * sv) AS sumsq_week
+        |  FROM scaled GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, sum(n_week) AS n, sum(sum_week) AS sum_s,
+        |    sum(sumsq_week) AS sumsq_s
+        |  FROM weekly GROUP BY 1),
+        |z AS (
+        |  SELECT w.event_type, w.week, w.n_week, w.sum_week,
+        |    CASE WHEN t.n = w.n_week THEN NULL ELSE
+        |      (w.sum_week::DOUBLE / w.n_week::DOUBLE -
+        |       (t.sum_s - w.sum_week)::DOUBLE / (t.n - w.n_week)::DOUBLE) /
+        |      sqrt(((t.sumsq_s - w.sumsq_week)::DOUBLE / (t.n - w.n_week)::DOUBLE -
+        |            ((t.sum_s - w.sum_week)::DOUBLE / (t.n - w.n_week)::DOUBLE) *
+        |            ((t.sum_s - w.sum_week)::DOUBLE / (t.n - w.n_week)::DOUBLE)) /
+        |           w.n_week::DOUBLE)
+        |    END AS zv
+        |  FROM weekly w JOIN tot t USING (event_type))
+        |SELECT event_type, week::BIGINT AS week, n_week::BIGINT AS n_week,
+        |  round((sum_week::DOUBLE / n_week::DOUBLE) / 100, 6) AS weekly_mean,
+        |  round(zv, 6) AS drift_z,
+        |  COALESCE(abs(zv) > 2.0, FALSE) AS drifted
+        |FROM z""".stripMargin,
 
     // selection over the identical (tus DESC, event_id DESC) total order —
     // event_id is unique, so rank 1 is the same row in both engines

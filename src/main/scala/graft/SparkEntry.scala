@@ -358,6 +358,18 @@ object SparkEntry {
     "q_zscore" -> ((s, dir) =>
       Sketches.zscoreOutliers(table(s, dir, "events"), "value", "event_type")),
 
+    // ---- Z-order (Morton) clustering key: coarse 4-bit-per-dimension
+    // cell histogram over (user_id, value) — the clustering key the
+    // layout writer range-partitions on, aggregated per cell
+    "q_zorder" -> ((s, dir) =>
+      Layout.withZValue(
+        table(s, dir, "events").select("user_id", "value"),
+        Seq("user_id", "value"), bits = 4)
+        .groupBy(col("_z").as("zcell"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))),
+
     // ---- ANALYZE-style per-column table profile (one aggregation pass;
     // exact NDV here for the oracle, HLL++ mode for the 10^11-row path)
     "q_profile" -> ((s, dir) =>
@@ -2231,6 +2243,29 @@ object SparkEntry {
         |WHERE abs((e.s::DOUBLE - m.sum_s::DOUBLE / m.n::DOUBLE) /
         |    sqrt(m.sumsq_s::DOUBLE / m.n::DOUBLE -
         |         (m.sum_s::DOUBLE / m.n::DOUBLE) * (m.sum_s::DOUBLE / m.n::DOUBLE))) > 2.0""".stripMargin,
+
+    "q_zorder" -> {
+      def bucket(x: String, mn: String, mx: String) =
+        s"""CASE WHEN $mx::DOUBLE - $mn::DOUBLE = 0 THEN 0
+           |     ELSE greatest(least(CAST(floor(($x::DOUBLE - $mn::DOUBLE) /
+           |            ($mx::DOUBLE - $mn::DOUBLE) * 16) AS BIGINT), 15), 0)
+           |END""".stripMargin
+      val interleave = (0 until 4).flatMap(i =>
+        Seq(s"(((bu >> $i) & 1) << ${2 * i})", s"(((bv >> $i) & 1) << ${2 * i + 1})"))
+        .mkString(" | ")
+      s"""WITH mm AS (
+         |  SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+         |         min(value) AS mnv, max(value) AS mxv FROM events),
+         |b AS (
+         |  SELECT ${bucket("e.user_id", "m.mnu", "m.mxu")} AS bu,
+         |         ${bucket("e.value", "m.mnv", "m.mxv")} AS bv,
+         |         e.user_id, e.value
+         |  FROM events e CROSS JOIN mm m)
+         |SELECT ($interleave)::BIGINT AS zcell, count(*) AS n_events,
+         |       min(user_id) AS min_user, max(user_id) AS max_user,
+         |       min(value) AS min_value, max(value) AS max_value
+         |FROM b GROUP BY 1""".stripMargin
+    },
 
     "q_profile" -> {
       def row(c: String, numeric: Boolean) = {

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Physical-layout operators: Z-order (Morton) clustering for
+ * multi-dimensional data skipping. A 100 TB table is read thousands of
+ * times per write — laying it out so that parquet row-group min/max
+ * statistics prune MULTI-column range predicates is one of the highest-
+ * leverage storage moves an engine owns (the reference has no storage
+ * layout control at all; rdflib holds graphs in memory).
+ *
+ * A sort by (a, b) prunes predicates on `a` only; interleaving the BITS
+ * of a and b into one clustering key gives every file a small bounding
+ * box in BOTH dimensions, so a box predicate touches O(perimeter) files
+ * instead of all of them. All of it is plain integer arithmetic inside
+ * whole-stage codegen — no UDFs, no shuffle beyond the one range
+ * repartition any clustered write needs.
+ */
+object Layout {
+
+  /** Interleave the low `bits` bits of each bucket column (longs in
+    * [0, 2^bits)) into one Morton code: output bit `i*n + j` is bit `i`
+    * of column `j`. Bijective on the bucket tuple, so the code is also a
+    * stable dedup/sort key. `bits * n` must fit a non-negative long. */
+  def zValue(buckets: Seq[Column], bits: Int = 16): Column = {
+    val n = buckets.size
+    require(n >= 1, "zValue of no columns")
+    require(bits >= 1 && bits * n <= 62, s"$n cols x $bits bits overflows a long")
+    val terms = for {
+      i <- 0 until bits
+      (c, j) <- buckets.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Linear min/max bucketization of a numeric column to [0, 2^bits):
+    * `floor((x - min) / (max - min) * 2^bits)` clamped into range, with a
+    * degenerate (constant) column collapsing to bucket 0. The min/max pair
+    * comes from one aggregate broadcast as a 1-row dimension. Linear
+    * scaling keeps the arithmetic oracle-portable; a skew-heavy production
+    * column would use quantile buckets instead (rank window or
+    * approxQuantile) — same interleave, different bucketizer. */
+  def minMaxBucket(x: Column, mn: Column, mx: Column, bits: Int): Column = {
+    val size = 1L << bits
+    val span = mx.cast("double") - mn.cast("double")
+    val raw = floor((x.cast("double") - mn.cast("double")) / span * size)
+    when(span === 0.0, lit(0L))
+      .otherwise(greatest(least(raw.cast("long"), lit(size - 1)), lit(0L)))
+  }
+
+  /**
+   * Z-order clustered write: bucketize the requested numeric columns,
+   * interleave to a Morton code, range-repartition on it into
+   * `targetFiles` output files, sort within each partition, and write
+   * parquet. Each output file then covers a contiguous Z-range = a small
+   * bounding box per dimension, which is what parquet footer min/max
+   * pruning needs. Returns the clustered frame's per-file bucket spans
+   * are verifiable by the caller (LayoutSpec does exactly that).
+   *
+   * The range repartition samples the Z key (Spark's RangePartitioner);
+   * that sampling is the only nondeterminism in the WRITE — file
+   * boundaries may shift between runs, file CONTENTS as a whole never do,
+   * and no query result depends on them.
+   */
+  def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
+                  bits: Int = 16, targetFiles: Int = 16): Unit = {
+    val withZ = withZValue(df, cols, bits)
+    withZ.repartitionByRange(targetFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The clustered frame zorderWrite writes: input plus its `_z` Morton
+    * column (bucketized over ALL rows' min/max — one broadcast aggregate). */
+  def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 16): DataFrame = {
+    require(cols.nonEmpty, "zorder of no columns")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c")))
+    val mm = df.agg(aggs.head, aggs.tail: _*)
+    val buckets = cols.map(c =>
+      minMaxBucket(col(c), col(s"_mn_$c"), col(s"_mx_$c"), bits))
+    df.crossJoin(broadcast(mm))
+      .withColumn("_z", zValue(buckets, bits))
+      .drop(cols.flatMap(c => Seq(s"_mn_$c", s"_mx_$c")): _*)
+  }
+}

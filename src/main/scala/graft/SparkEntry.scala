@@ -358,6 +358,20 @@ object SparkEntry {
     "q_zscore" -> ((s, dir) =>
       Sketches.zscoreOutliers(table(s, dir, "events"), "value", "event_type")),
 
+    // ---- Bloom-prefiltered decontamination: new-batch docs (5-char
+    // sources) whose 5-token opening prefix appears in the reference
+    // corpus (4-char sources) are removed; the Bloom filter prunes the
+    // probe-side shuffle, the verify join keeps the answer exact
+    "q_dedup_bloom" -> ((s, dir) => {
+      val keyed = docs(s, dir).withColumn("pfx",
+        concat_ws(" ", slice(split(col("text"), " "), 1, 5)))
+      Dedup.bloomDecontaminate(
+        keyed.where(length(col("source")) > 4),
+        keyed.where(length(col("source")) === 4).select("pfx"),
+        "pfx", mBits = 1L << 16)
+        .select("doc_id", "source")
+    }),
+
     // ---- Z-order (Morton) clustering key: coarse 4-bit-per-dimension
     // cell histogram over (user_id, value) — the clustering key the
     // layout writer range-partitions on, aggregated per cell
@@ -2243,6 +2257,16 @@ object SparkEntry {
         |WHERE abs((e.s::DOUBLE - m.sum_s::DOUBLE / m.n::DOUBLE) /
         |    sqrt(m.sumsq_s::DOUBLE / m.n::DOUBLE -
         |         (m.sum_s::DOUBLE / m.n::DOUBLE) * (m.sum_s::DOUBLE / m.n::DOUBLE))) > 2.0""".stripMargin,
+
+    "q_dedup_bloom" ->
+      """WITH kd AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS pfx
+        |  FROM documents)
+        |SELECT p.doc_id, p.source
+        |FROM kd p LEFT JOIN (SELECT DISTINCT pfx FROM kd WHERE length(source) = 4) r
+        |  ON r.pfx = p.pfx
+        |WHERE length(p.source) > 4 AND r.pfx IS NULL""".stripMargin,
 
     "q_zorder" -> {
       def bucket(x: String, mn: String, mx: String) =

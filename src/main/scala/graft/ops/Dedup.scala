@@ -403,4 +403,73 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
+
+  // ------------------------------------------------- bloom decontamination
+
+  /**
+   * Bloom-prefiltered membership split — the probe-side pruning pattern for
+   * decontaminating a NEW batch against a reference corpus at 100 TB. A
+   * plain anti-join shuffles the entire new batch on the key; a Bloom
+   * filter built from the reference answers "definitely not present" for
+   * the overwhelming majority of new keys WITHOUT any shuffle of the probe
+   * side, so only the tiny "maybe" fraction (true matches + false
+   * positives) pays the exact verification join.
+   *
+   * Mechanics: the filter is `mBits` bits packed into 64-bit words as a
+   * (slot, bits) table — built with one explode (k positions per reference
+   * key, `xxhash64(i, key) mod mBits`) and one `bit_or` aggregate, sized
+   * `mBits/64` rows max regardless of corpus size. The probe side takes k
+   * BROADCAST joins on the slot (row-aligned — no explode, no re-group, no
+   * shuffle of the probe) and a bit-test per position. Bloom filters have
+   * no false negatives, so the "clean" frame is exact by construction;
+   * false-positive rate ~(1 - e^(-k·n/m))^k only affects how much work the
+   * verify join sees.
+   *
+   * Returns (definitelyClean, maybePresent). [[bloomDecontaminate]]
+   * composes the exact end-to-end result.
+   */
+  def bloomSplit(probe: DataFrame, refKeys: DataFrame, keyCol: String,
+                 mBits: Long = 1L << 20, k: Int = 5): (DataFrame, DataFrame) = {
+    require(k >= 1 && k <= 16, s"k=$k hash functions out of range")
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits=$mBits must be a power of two >= 64")
+    def slotE(i: Int, c: String) =
+      expr(s"pmod(xxhash64($i, `$c`), ${mBits}L) div 64")
+    def maskE(i: Int, c: String) =
+      expr(s"shiftleft(cast(1 as bigint), " +
+        s"cast(pmod(xxhash64($i, `$c`), ${mBits}L) % 64 as int))")
+    val refCol = refKeys.columns.head
+    val pairs = (0 until k).map(i =>
+      struct(slotE(i, refCol).as("slot"), maskE(i, refCol).as("mask")))
+    val bloom = refKeys.select(explode(array(pairs: _*)).as("sm"))
+      .select(col("sm.slot").as("slot"), col("sm.mask").as("mask"))
+      .groupBy("slot").agg(expr("bit_or(mask)").as("bits"))
+    var p = probe
+    for (i <- 0 until k) {
+      val b = bloom.select(col("slot").as(s"_bs$i"), col("bits").as(s"_bb$i"))
+      p = p.withColumn(s"_sl$i", slotE(i, keyCol))
+        .withColumn(s"_mk$i", maskE(i, keyCol))
+        .join(broadcast(b), col(s"_sl$i") === col(s"_bs$i"), "left_outer")
+    }
+    val maybe = (0 until k)
+      .map(i => (coalesce(col(s"_bb$i"), lit(0L))
+        .bitwiseAND(col(s"_mk$i"))) =!= lit(0L))
+      .reduce(_ && _)
+    val scratch = (0 until k).flatMap(i => Seq(s"_sl$i", s"_mk$i", s"_bs$i", s"_bb$i"))
+    (p.where(!maybe).drop(scratch: _*), p.where(maybe).drop(scratch: _*))
+  }
+
+  /**
+   * Exact decontamination with Bloom pruning: rows of `probe` whose
+   * `keyCol` does NOT appear in `refKeys` — bit-identical to a plain
+   * left-anti join (the Bloom routing never changes the answer, only which
+   * rows pay the verify join), which is exactly what makes it
+   * oracle-checkable against engines with no Bloom at all.
+   */
+  def bloomDecontaminate(probe: DataFrame, refKeys: DataFrame, keyCol: String,
+                         mBits: Long = 1L << 20, k: Int = 5): DataFrame = {
+    val (clean, maybe) = bloomSplit(probe, refKeys, keyCol, mBits, k)
+    val ref = refKeys.select(col(refKeys.columns.head).as(keyCol)).distinct()
+    clean.unionByName(maybe.join(ref, Seq(keyCol), "left_anti"))
+  }
 }

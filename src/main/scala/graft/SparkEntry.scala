@@ -503,6 +503,19 @@ object SparkEntry {
       KgQuery.describe(g, res).select("s", "p", "o", "o_kind")
     }),
 
+    // ---- SPARQL property path partOf/(mentions|usedTool): everything a
+    // turn reaches through its conversation's mentions OR its own tools —
+    // sequence + alternation + inverse-free composition in one evaluator
+    "q_kg_path" -> ((s, dir) => {
+      import KgQuery._
+      pathEval(graphDf(s, dir),
+        PathAlt(Seq(
+          PathSeq(Seq(Pred("urn:graft:partOf"), Pred("urn:graft:mentions"))),
+          Pred("urn:graft:usedTool"))))
+        .groupBy(col("dst").as("target"))
+        .agg(countDistinct(col("src")).as("n_turns"))
+    }),
+
     // ---- VoID-style per-predicate dataset statistics (ontology profile)
     "q_kg_void" -> ((s, dir) => KgQuery.voidStats(graphDf(s, dir))),
 
@@ -1842,6 +1855,18 @@ object SparkEntry {
          |      ORDER BY o LIMIT 5)
          |SELECT DISTINCT g.s, g.p, g.o, g.o_kind
          |FROM g JOIN r ON g.s = r.o OR g.o = r.o""".stripMargin,
+
+    "q_kg_path" ->
+      s"""$triplesSql,
+         |g AS (SELECT DISTINCT s, p, o FROM triples),
+         |seq AS (SELECT DISTINCT a.s AS src, b.o AS dst
+         |        FROM g a JOIN g b ON b.s = a.o AND b.p = 'urn:graft:mentions'
+         |        WHERE a.p = 'urn:graft:partOf'),
+         |alt AS (SELECT src, dst FROM seq
+         |        UNION
+         |        SELECT s, o FROM g WHERE p = 'urn:graft:usedTool')
+         |SELECT dst AS target, count(DISTINCT src) AS n_turns
+         |FROM alt GROUP BY 1""".stripMargin,
 
     "q_kg_void" ->
       s"""$triplesSql,

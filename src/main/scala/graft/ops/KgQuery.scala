@@ -191,6 +191,48 @@ object KgQuery {
       round(count(lit(1)).cast("double") / countDistinct(col("s")).cast("double"), 6)
         .as("avg_fanout"))
 
+  /** SPARQL 1.1 property-path algebra (the non-recursive core): a path
+    * denotes a binary relation over nodes. `p+`/`p*` recursion is
+    * [[transitiveClosure]] over the path's relation. */
+  sealed trait Path
+  /** A single predicate step `p`. */
+  final case class Pred(iri: String) extends Path
+  /** Inverse path `^p` — follow the relation backwards. */
+  final case class Inv(p: Path) extends Path
+  /** Sequence `p1/p2/...` — relational composition. */
+  final case class PathSeq(steps: Seq[Path]) extends Path
+  /** Alternation `p1|p2|...` — union of relations. */
+  final case class PathAlt(alts: Seq[Path]) extends Path
+
+  /**
+   * Evaluate a property path to its (src, dst) relation, set semantics.
+   * Predicates scan with a pushed-down `p =` filter; inverse is a column
+   * swap (free); alternation unions; sequence composes with one hash join
+   * per `/` keyed on the meeting node — at a 10^11-triple scale each
+   * step's relation stays partitioned on its join side and AQE handles
+   * celebrity-node skew, same as [[bgp]] (which a path is sugar for when
+   * every step is a plain predicate — this evaluator exists for `^`, `|`,
+   * and composition under them, which BGP cannot express).
+   */
+  def pathEval(graph: DataFrame, path: Path): DataFrame = path match {
+    case Pred(iri) =>
+      graph.where(col("p") === iri)
+        .select(col("s").as("src"), col("o").as("dst")).dropDuplicates("src", "dst")
+    case Inv(p) =>
+      pathEval(graph, p).select(col("dst").as("src"), col("src").as("dst"))
+    case PathAlt(alts) =>
+      require(alts.nonEmpty, "empty path alternation")
+      alts.map(pathEval(graph, _)).reduceLeft(_ unionByName _)
+        .dropDuplicates("src", "dst")
+    case PathSeq(steps) =>
+      require(steps.nonEmpty, "empty path sequence")
+      steps.map(pathEval(graph, _)).reduceLeft { (acc, next) =>
+        acc.join(next.select(col("src").as("_mid"), col("dst").as("_nd")),
+          acc("dst") === col("_mid"))
+          .select(acc("src"), col("_nd").as("dst")).dropDuplicates("src", "dst")
+      }
+  }
+
   /**
    * Minimum-hop transitive closure of a directed edge set — the engine of
    * RDFS materialization (`rdfs:subClassOf`+, `owl:TransitiveProperty`)

@@ -123,6 +123,25 @@ class KgQuerySpec extends AnyFunSuite {
     assert(got == Set(("e1", "type", "Person"), ("c1", "mentions", "e1")))
   }
 
+  test("pathEval: sequence composes, alternation unions, inverse swaps") {
+    val g = graph(
+      ("t1", "partOf", "c1", 0L), ("t2", "partOf", "c1", 0L),
+      ("c1", "mentions", "e1", 0L), ("c1", "mentions", "e2", 0L),
+      ("t1", "usedTool", "grep", 2L))
+    def rel(p: Path) = pathEval(g, p).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(rel(PathSeq(Seq(Pred("partOf"), Pred("mentions")))) ==
+      Set("t1" -> "e1", "t1" -> "e2", "t2" -> "e1", "t2" -> "e2"))
+    assert(rel(PathAlt(Seq(Pred("usedTool"), Pred("partOf")))) ==
+      Set("t1" -> "grep", "t1" -> "c1", "t2" -> "c1"))
+    assert(rel(Inv(Pred("partOf"))) == Set("c1" -> "t1", "c1" -> "t2"))
+    // composition under inverse: who shares a conversation with t1
+    assert(rel(PathSeq(Seq(Pred("partOf"), Inv(Pred("partOf"))))) ==
+      Set("t1" -> "t1", "t1" -> "t2", "t2" -> "t1", "t2" -> "t2"))
+    assertThrows[IllegalArgumentException](pathEval(g, PathSeq(Nil)))
+    assertThrows[IllegalArgumentException](pathEval(g, PathAlt(Nil)))
+  }
+
   test("voidStats profiles each predicate") {
     val g = graph(
       ("s1", "p1", "o1", 0L), ("s1", "p1", "o2", 0L), ("s2", "p1", "o1", 0L),

@@ -50,6 +50,12 @@ trait GraphCatalog {
   def expireSnapshots(graphIri: String, keepLast: Int): Seq[Long]
   /** Iceberg-style time travel: read a specific committed snapshot. */
   def readAt(graphIri: String, snapshotId: Long): (Seq[String], DataFrame)
+  /** Changelog between two committed snapshots (the Iceberg CDC /
+    * `changelog` read an incremental consumer wants instead of re-diffing
+    * full snapshots itself): the `to` rows absent at `from` marked
+    * `insert`, the `from` rows gone at `to` marked `delete`, as one frame
+    * with a `change` column. Same ids diff to empty; unknown ids error. */
+  def diff(graphIri: String, fromId: Long, toId: Long): DataFrame
   /** Committed snapshot ids for a graph, ascending. */
   def snapshots(graphIri: String): Seq[Long]
   def exists(graphIri: String): Boolean
@@ -500,6 +506,41 @@ final class ParquetSnapshotCatalog(spark: SparkSession, root: String) extends Gr
 
   def snapshots(graphIri: String): Seq[Long] =
     snapshotManifests(GraphCatalog.resolveGraphIri(graphIri)).map(_._1)
+
+  /**
+   * CDC read. Fast path: when `to`'s file-set list extends `from`'s (a
+   * pure delta-append chain, the common case for the incremental
+   * pipeline), the diff IS the extra file sets — each was anti-joined
+   * against the full content at ITS commit (writeAttemptStaged), so the
+   * union of later deltas is exact inserts and the read is O(delta), never
+   * touching the old snapshot's files. A compact()/overwrite in between
+   * breaks the prefix property and falls back to the two-sided EXCEPT
+   * (two scans + the set-difference shuffles — unavoidable when file
+   * lineage can't prove the relationship).
+   */
+  def diff(graphIri: String, fromId: Long, toId: Long): DataFrame = {
+    val resolved = GraphCatalog.resolveGraphIri(graphIri)
+    val manifests = snapshotManifests(resolved).toMap
+    def pathsOf(id: Long): Seq[String] =
+      manifestPaths(manifests.getOrElse(id,
+        throw new IllegalArgumentException(s"No snapshot $id for graph: $resolved")))
+    val fromPaths = pathsOf(fromId)
+    val toPaths = pathsOf(toId)
+    lazy val fromDf = spark.read.parquet(fromPaths: _*)
+    val change = (v: String) => lit(v).as("change")
+    if (toPaths.startsWith(fromPaths)) {
+      val newPaths = toPaths.drop(fromPaths.size)
+      if (newPaths.isEmpty)
+        fromDf.limit(0).withColumn("change", change("insert"))
+      else
+        spark.read.parquet(newPaths: _*).dropDuplicates(TripleKey)
+          .withColumn("change", change("insert"))
+    } else {
+      val toDf = spark.read.parquet(toPaths: _*)
+      toDf.except(fromDf).withColumn("change", change("insert"))
+        .unionByName(fromDf.except(toDf).withColumn("change", change("delete")))
+    }
+  }
 
   /**
    * Workflow-aware existence (SURVEY S6; persistence_systems.py:760-784):

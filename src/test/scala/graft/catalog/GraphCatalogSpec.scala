@@ -65,6 +65,39 @@ class GraphCatalogSpec extends AnyFunSuite {
     assert(cat.count(iri) == 6L) // 4 + 2 new, duplicates collapsed
   }
 
+  test("diff: CDC changelog between snapshots, delta fast path == full except") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graftcatdiff").toString
+    val cat = new ParquetSnapshotCatalog(spark, root)
+    val iri = "urn:gdiff"
+    cat.write(iri, tripleDf(4, "x"))                      // v1: x0..x3
+    cat.write(iri, tripleDf(2, "y"), overwrite = false)   // v2: + y0 y1
+    // delta-append chain: inserts only, and ONLY the delta file set is read
+    val d12 = cat.diff(iri, 1L, 2L)
+    assert(!d12.queryExecution.analyzed.toString.contains("Except"),
+      "append-chain diff must take the O(delta) path, not EXCEPT")
+    val got12 = d12.collect().map(r => (r.getAs[String]("s"), r.getAs[String]("change"))).toSet
+    assert(got12 == Set("urn:s:y:0" -> "insert", "urn:s:y:1" -> "insert"))
+    // overwrite drops x0..x3+y1, keeps y0, adds z0: full two-sided diff
+    val v3 = (Seq(TripleRow("urn:s:y:0", 0, "urn:p", "o0", 2, null, null)) ++
+      Seq(TripleRow("urn:s:z:0", 0, "urn:p", "oz", 2, null, null))).toDF()
+    cat.write(iri, v3)
+    val got23 = cat.diff(iri, 2L, 3L).collect()
+      .map(r => (r.getAs[String]("s"), r.getAs[String]("change"))).toSet
+    assert(got23 == Set("urn:s:z:0" -> "insert",
+      "urn:s:x:0" -> "delete", "urn:s:x:1" -> "delete",
+      "urn:s:x:2" -> "delete", "urn:s:x:3" -> "delete",
+      "urn:s:y:1" -> "delete"))
+    // same id -> empty; schema still carries the change column
+    assert(cat.diff(iri, 2L, 2L).count() == 0L)
+    assert(cat.diff(iri, 2L, 2L).columns.contains("change"))
+    // reverse direction over the append chain: falls back, flips labels
+    val got21 = cat.diff(iri, 2L, 1L).collect()
+      .map(r => (r.getAs[String]("s"), r.getAs[String]("change"))).toSet
+    assert(got21 == Set("urn:s:y:0" -> "delete", "urn:s:y:1" -> "delete"))
+    assertThrows[IllegalArgumentException](cat.diff(iri, 1L, 99L))
+  }
+
   test("append is a delta commit: previous snapshot files stay byte-untouched") {
     val rootDir = Files.createTempDirectory("graftcat9")
     val cat = new ParquetSnapshotCatalog(spark, rootDir.toString)

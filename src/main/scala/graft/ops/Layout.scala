@@ -73,6 +73,63 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Per-file statistics of a parquet directory: (file, bytes, n_rows) —
+    * the input to any small-file diagnosis. Row counts come from one
+    * grouped scan over `input_file_name()` (metadata-only column, no
+    * shuffle beyond the small per-file aggregate); sizes from the
+    * FileSystem listing. */
+  def fileStats(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val p = new HPath(path)
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    val sizes = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toUri.getPath, s.getLen))
+    import spark.implicits._
+    val sizeDf = sizes.toDF("file", "bytes")
+    val rows = spark.read.parquet(path)
+      .groupBy(input_file_name().as("fname"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(
+        // input_file_name() is a URI (file:///..., hdfs://host/...);
+        // strip scheme+authority to match the FileSystem listing's path
+        regexp_replace(col("fname"), "^[a-z][a-z0-9+.-]*://[^/]*", "").as("file"),
+        col("n_rows"))
+    sizeDf.join(rows, Seq("file"), "left_outer")
+      .select(col("file"), col("bytes"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+  }
+
+  /**
+   * Small-file compaction: rewrite a parquet directory into
+   * ~`ceil(totalBytes / targetBytes)` files — the `rewrite_data_files`
+   * maintenance every long-lived table needs, because a 100 TB table that
+   * accumulates per-micro-batch files degrades every scan (footer reads,
+   * scheduler overhead, no row-group locality) until someone compacts.
+   * Uses repartition (round-robin, even output sizes) when growing file
+   * count would be pointless; output replaces the input atomically only in
+   * the sense parquet offers (write to `path + ".compact"` then swap) —
+   * production tables should route through GraphCatalog's snapshot
+   * `compact()`, which this mirrors at the raw-directory level. Returns
+   * the output file count.
+   */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+                   targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val p = new HPath(path)
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(p).filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val tmp = path + ".compact"
+    spark.read.parquet(path).repartition(nOut).write
+      .mode("overwrite").parquet(tmp)
+    fs.delete(p, true)
+    require(fs.rename(new HPath(tmp), p), s"compaction swap failed for $path")
+    nOut
+  }
+
   /** The clustered frame zorderWrite writes: input plus its `_z` Morton
     * column (bucketized over ALL rows' min/max — one broadcast aggregate). */
   def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 16): DataFrame = {

@@ -45,6 +45,25 @@ class LayoutSpec extends AnyFunSuite {
     assert(const == Set(0L), "zero span collapses to bucket 0")
   }
 
+  test("fileStats + compactFiles: small-file dir compacts to target, rows intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    (0 until 10000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(32).write.parquet(dir)
+    val before = Layout.fileStats(spark, dir).collect()
+    assert(before.length == 32)
+    assert(before.map(_.getAs[Long]("n_rows")).sum == 10000L)
+    val totalBytes = before.map(_.getAs[Long]("bytes")).sum
+    // target a quarter of the total -> ~4 output files
+    val nOut = Layout.compactFiles(spark, dir, targetBytes = totalBytes / 4 + 1)
+    assert(nOut >= 3 && nOut <= 5, s"expected ~4 output files, got $nOut")
+    val after = Layout.fileStats(spark, dir).collect()
+    assert(after.length == nOut)
+    assert(after.map(_.getAs[Long]("n_rows")).sum == 10000L)
+    assert(spark.read.parquet(dir).select(sum(col("id"))).head.getLong(0)
+      == (0 until 10000).map(_.toLong).sum)
+  }
+
   test("z-ordered layout confines a box query to few files; round-robin touches all") {
     import spark.implicits._
     val rows = (0 until 20000).map(i => (i.toLong % 1000, (i.toLong * 37) % 1000))

@@ -543,6 +543,17 @@ object SparkEntry {
           .select(col("s"), col("o")),
         k = 3)),
 
+    // ---- weakly connected components over the co-mention entity graph
+    // (the T4 large-star/small-star engine exposed as a first-class query;
+    // component id = min entity in the component, one row per entity)
+    "q_kg_wcc" -> ((s, dir) => {
+      val e = coEdgesDf(s, dir)
+      val nodes = e.select(col("entity_a").as("entity_id"))
+        .unionByName(e.select(col("entity_b").as("entity_id"))).distinct()
+      graft.pipeline.Canonicalize.connectedComponents(s, e, nodes)
+        .select(col("entity_id"), col("canonical_id").as("component"))
+    }),
+
     // ---- deterministic DeepWalk corpus over the co-mention entity graph
     // (2 walks × 4 steps per node; md5-ranked neighbor choice, zero RNG)
     "q_kg_walks" -> ((s, dir) =>
@@ -1889,6 +1900,21 @@ object SparkEntry {
          |  WHERE p.dist < 8)
          |SELECT src, dst, CAST(min(dist) AS BIGINT) AS dist
          |FROM clo_paths GROUP BY 1, 2""".stripMargin,
+
+    "q_kg_wcc" ->
+      s"""$mentionsCte,
+         |cm AS (SELECT DISTINCT conv_id, entity_id FROM mentions),
+         |ce AS (SELECT a.entity_id AS ea, b.entity_id AS eb
+         |  FROM cm a JOIN cm b ON a.conv_id = b.conv_id
+         |  WHERE a.entity_id < b.entity_id GROUP BY 1, 2),
+         |sym AS (SELECT ea AS u, eb AS v FROM ce UNION SELECT eb, ea FROM ce),
+         |wnodes AS (SELECT DISTINCT u AS n FROM sym),
+         |reach(node, r) AS (
+         |  SELECT n, n FROM wnodes
+         |  UNION
+         |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.node)
+         |SELECT node AS entity_id, min(r) AS component
+         |FROM reach GROUP BY 1""".stripMargin,
 
     "q_kg_walks" -> {
       def hv(step: Int) = Sketches.hexPrefixValueSql(

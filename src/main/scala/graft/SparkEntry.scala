@@ -384,6 +384,30 @@ object SparkEntry {
           min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
           min(col("value")).as("min_value"), max(col("value")).as("max_value"))),
 
+    // ---- quantile-bucketed Z-order cells: the skew-robust bucketizer
+    // (equal-frequency buckets from percent_rank) under the same Morton
+    // interleave — every cell carries ~equal row weight by construction
+    "q_zorder_quantile" -> ((s, dir) => {
+      val e = table(s, dir, "events").select("user_id", "value")
+      val b = Layout.quantileBucket(Layout.quantileBucket(e, "user_id", 4), "value", 4)
+      b.withColumn("zcell",
+        Layout.zValue(Seq(col("_qb_user_id"), col("_qb_value")), bits = 4))
+        .groupBy("zcell")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"))
+    }),
+
+    // ---- salted two-phase aggregate over a hot key: bit-identical to
+    // the direct groupBy (integer sums re-associate exactly), which is
+    // precisely what the oracle checks — the salt never leaks
+    "q_salted_agg" -> ((s, dir) =>
+      Skew.saltedAgg(
+        table(s, dir, "events")
+          .withColumn("sv", round(col("value") * 100).cast("long")),
+        keys = Seq("event_type"), distributor = col("event_id"),
+        sumCols = Seq("sv"))
+        .select(col("event_type"), col("n_rows"), col("sum_sv"))),
+
     // ---- ANALYZE-style per-column table profile (one aggregation pass;
     // exact NDV here for the oracle, HLL++ mode for the 10^11-row path)
     "q_profile" -> ((s, dir) =>
@@ -2341,6 +2365,25 @@ object SparkEntry {
          |       min(value) AS min_value, max(value) AS max_value
          |FROM b GROUP BY 1""".stripMargin
     },
+
+    "q_zorder_quantile" -> {
+      val interleave = (0 until 4).flatMap(i =>
+        Seq(s"(((bu >> $i) & 1) << ${2 * i})", s"(((bv >> $i) & 1) << ${2 * i + 1})"))
+        .mkString(" | ")
+      s"""WITH b AS (
+         |  SELECT user_id,
+         |    least(CAST(floor(percent_rank() OVER (ORDER BY user_id) * 16) AS BIGINT), 15) AS bu,
+         |    least(CAST(floor(percent_rank() OVER (ORDER BY value) * 16) AS BIGINT), 15) AS bv
+         |  FROM events)
+         |SELECT ($interleave)::BIGINT AS zcell, count(*) AS n_events,
+         |       min(user_id) AS min_user, max(user_id) AS max_user
+         |FROM b GROUP BY 1""".stripMargin
+    },
+
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_sv
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_profile" -> {
       def row(c: String, numeric: Boolean) = {

@@ -51,6 +51,26 @@ object Layout {
   }
 
   /**
+   * Quantile (equal-frequency) bucketization to [0, 2^bits): bucket =
+   * `floor(percent_rank * 2^bits)` clamped — the skew-robust alternative
+   * to [[minMaxBucket]] (a power-law column under linear scaling dumps
+   * 99% of rows into bucket 0; under rank scaling every bucket holds
+   * ~1/2^bits of the rows, which is what gives every Z-range file equal
+   * weight). Deterministic: percent_rank is a pure function of the value
+   * (ties share a rank). This exact form needs one global-order window —
+   * fine for computing bucket BOUNDARIES on a dimension or a sample; at
+   * 10^11 rows compute boundaries once via approxQuantile/sampling and
+   * join them in, same interleave downstream.
+   */
+  def quantileBucket(df: DataFrame, c: String, bits: Int): DataFrame = {
+    val size = 1L << bits
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn(s"_qb_$c",
+      least(floor(percent_rank().over(Window.orderBy(col(c))) * size)
+        .cast("long"), lit(size - 1)))
+  }
+
+  /**
    * Z-order clustered write: bucketize the requested numeric columns,
    * interleave to a Morton code, range-repartition on it into
    * `targetFiles` output files, sort within each partition, and write

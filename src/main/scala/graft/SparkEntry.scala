@@ -397,6 +397,44 @@ object SparkEntry {
           min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"))
     }),
 
+    // ---- binned interval self-join: cross-user event pairs within 60 s,
+    // bucket equi-join + exact re-check (never a nested-loop cartesian)
+    "q_range_join" -> ((s, dir) =>
+      RangeJoin.selfJoinWithin(
+        table(s, dir, "events").select("event_id", "user_id", "event_type", "ts"),
+        "ts", 60L * 1000000,
+        (a, b) => a("user_id") < b("user_id"))
+        .groupBy(col("event_type_a"), col("event_type_b"))
+        .agg(count(lit(1)).as("n_pairs"))),
+
+    // ---- OLAP ROLLUP (grouping sets): (type, week) / (type) / () totals
+    // in one pass, grouping id derived from the rollup nulls
+    "q_rollup" -> ((s, dir) => {
+      val e = table(s, dir, "events").select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 604800000000").as("week"),
+        round(col("value") * 100).cast("long").as("sv"))
+      e.rollup("event_type", "week")
+        .agg(count(lit(1)).as("n_events"), sum("sv").as("sum_sv"))
+        .select(
+          // rollup NULLs -> sentinels: the grouping id stays derivable and
+          // the result rows stay totally orderable for the hash compare
+          coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("week"), lit(-1L)).as("week"),
+          (when(col("event_type").isNull, 2L).otherwise(0L) +
+            when(col("week").isNull, 1L).otherwise(0L)).as("gid"),
+          col("n_events"), col("sum_sv"))
+    }),
+
+    // ---- pivot: event types to columns (explicit value list so the
+    // output schema is static), weekly integer-exact value sums
+    "q_pivot" -> ((s, dir) =>
+      table(s, dir, "events").select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 604800000000").as("week"),
+        round(col("value") * 100).cast("long").as("sv"))
+        .groupBy("week")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(col("sv")))),
+
     // ---- salted two-phase aggregate over a hot key: bit-identical to
     // the direct groupBy (integer sums re-associate exactly), which is
     // precisely what the oracle checks — the salt never leaks
@@ -2379,6 +2417,37 @@ object SparkEntry {
          |       min(user_id) AS min_user, max(user_id) AS max_user
          |FROM b GROUP BY 1""".stripMargin
     },
+
+    "q_range_join" ->
+      """SELECT a.event_type AS event_type_a, b.event_type AS event_type_b,
+        |  count(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+        |  AND a.user_id < b.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_rollup" ->
+      """WITH scaled AS (
+        |  SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+        |    CAST(round(value * 100) AS BIGINT) AS sv FROM events)
+        |SELECT coalesce(event_type, '(all)') AS event_type,
+        |  coalesce(week, -1)::BIGINT AS week,
+        |  (CASE WHEN event_type IS NULL THEN 2 ELSE 0 END +
+        |   CASE WHEN week IS NULL THEN 1 ELSE 0 END)::BIGINT AS gid,
+        |  count(*) AS n_events, sum(sv) AS sum_sv
+        |FROM scaled GROUP BY ROLLUP (event_type, week)""".stripMargin,
+
+    "q_pivot" ->
+      """WITH scaled AS (
+        |  SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+        |    CAST(round(value * 100) AS BIGINT) AS sv FROM events)
+        |SELECT week::BIGINT AS week,
+        |  sum(CASE WHEN event_type = 'click' THEN sv END) AS click,
+        |  sum(CASE WHEN event_type = 'error' THEN sv END) AS error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN sv END) AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN sv END) AS signup,
+        |  sum(CASE WHEN event_type = 'view' THEN sv END) AS view
+        |FROM scaled GROUP BY 1""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT event_type, count(*) AS n_rows,

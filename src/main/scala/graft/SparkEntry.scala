@@ -255,6 +255,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))),
 
+    // ---- sliding (hopping) windows: 1 h window every 15 min — each event
+    // lands in 4 overlapping windows (Structured Streaming's sliding
+    // window semantics, exercised in batch; epoch-exact starts)
+    "q_sliding_window" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(
+          window(col("ts"), "1 hour", "15 minutes").getField("start")
+            .as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          expr("unix_micros(cast(window_start as timestamp))").as("window_start_us"),
+          col("event_type"), col("n_events"))),
+
     // ================================================ training-data operators
     // ---- exact dedup
     "q_dedup_exact" -> ((s, dir) => Dedup.exactDedup(docs(s, dir))),
@@ -2417,6 +2431,12 @@ object SparkEntry {
          |       min(user_id) AS min_user, max(user_id) AS max_user
          |FROM b GROUP BY 1""".stripMargin
     },
+
+    "q_sliding_window" ->
+      """SELECT ((epoch_us(ts) // 900000000) - i) * 900000000 AS window_start_us,
+        |  event_type, count(*) AS n_events
+        |FROM events, LATERAL (SELECT unnest(generate_series(0, 3)) AS i)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_range_join" ->
       """SELECT a.event_type AS event_type_a, b.event_type AS event_type_b,

@@ -436,7 +436,11 @@ object SparkEntry {
           coalesce(col("week"), lit(-1L)).as("week"),
           (when(col("event_type").isNull, 2L).otherwise(0L) +
             when(col("week").isNull, 1L).otherwise(0L)).as("gid"),
-          col("n_events"), col("sum_sv"))
+          col("n_events"),
+          // DuckDB sum(BIGINT) is HUGEINT -> arrow decimal128(38,0); the
+          // driver's hash is type-sensitive, so the Spark side must carry
+          // the same type (values are identical, the cast is lossless)
+          col("sum_sv").cast("decimal(38,0)").as("sum_sv"))
     }),
 
     // ---- pivot: event types to columns (explicit value list so the
@@ -447,7 +451,11 @@ object SparkEntry {
         round(col("value") * 100).cast("long").as("sv"))
         .groupBy("week")
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(sum(col("sv")))),
+        .agg(sum(col("sv")))
+        // oracle sum(CASE ...) is DuckDB HUGEINT = decimal128(38,0):
+        // match its type exactly for the driver's type-sensitive hash
+        .select(col("week") +: Seq("click", "error", "purchase", "signup", "view")
+          .map(c => col(c).cast("decimal(38,0)").as(c)): _*)),
 
     // ---- salted two-phase aggregate over a hot key: bit-identical to
     // the direct groupBy (integer sums re-associate exactly), which is
@@ -458,7 +466,9 @@ object SparkEntry {
           .withColumn("sv", round(col("value") * 100).cast("long")),
         keys = Seq("event_type"), distributor = col("event_id"),
         sumCols = Seq("sv"))
-        .select(col("event_type"), col("n_rows"), col("sum_sv"))),
+        // oracle sum(...) is DuckDB HUGEINT = decimal128(38,0): match it
+        .select(col("event_type"), col("n_rows"),
+          col("sum_sv").cast("decimal(38,0)").as("sum_sv"))),
 
     // ---- ANALYZE-style per-column table profile (one aggregation pass;
     // exact NDV here for the oracle, HLL++ mode for the 10^11-row path)

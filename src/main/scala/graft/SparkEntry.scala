@@ -162,9 +162,13 @@ object SparkEntry {
     "q_graph_ask" -> ((s, dir) =>
       graphDf(s, dir).limit(1).agg((count(lit(1)) > 0).as("graph_exists"))),
 
-    // ---- O11 SELECT ?s ?p ?o LIMIT 10 (ordered for determinism)
+    // ---- O11 SELECT ?s ?p ?o LIMIT 10 (ordered for determinism).
+    // No distinct: the graph is distinct at (s,p,o) grain (o_kind is a
+    // pure function of p — see the bgp distinctSPO call sites), so the
+    // projection is already duplicate-free and the dedup exchange the
+    // distinct planned was an identity op.
     "q_graph_select" -> ((s, dir) =>
-      graphDf(s, dir).select("s", "p", "o").distinct()
+      graphDf(s, dir).select("s", "p", "o")
         .orderBy("s", "p", "o").limit(10)),
 
     // ---- O4 N-Triples serialization as a codegen'd projection
@@ -519,7 +523,11 @@ object SparkEntry {
       bgp(graphDf(s, dir), Seq(
         TriplePattern(V("turn"), C("urn:graft:partOf"), V("conv")),
         TriplePattern(V("turn"), C("urn:graft:usedTool"), V("tool")),
-        TriplePattern(V("conv"), C("urn:graft:mentions"), V("ent"))))
+        TriplePattern(V("conv"), C("urn:graft:mentions"), V("ent"))),
+        // graphDf is distinct at (s,p,o): o_kind is a pure function of p
+        // (Extraction.triples assigns one kind per predicate), so the
+        // per-pattern dedup exchanges are identity ops — skip them
+        distinctSPO = true)
         .groupBy("ent", "tool")
         .agg(countDistinct(col("turn")).as("n_turns"),
           countDistinct(col("conv")).as("n_convs"))
@@ -531,7 +539,8 @@ object SparkEntry {
       import KgQuery._
       bgpOptional(graphDf(s, dir),
         Seq(TriplePattern(V("turn"), C("urn:graft:partOf"), V("conv"))),
-        Seq(Seq(TriplePattern(V("turn"), C("urn:graft:usedTool"), V("tool")))))
+        Seq(Seq(TriplePattern(V("turn"), C("urn:graft:usedTool"), V("tool")))),
+        distinctSPO = true)
         .groupBy("conv")
         .agg(countDistinct(col("turn")).as("n_turns"),
           count(col("tool")).as("n_tool_turns"),
@@ -544,7 +553,8 @@ object SparkEntry {
       import KgQuery._
       val b = bgp(graphDf(s, dir), Seq(
         TriplePattern(V("conv"), C("urn:graft:mentions"), V("e1")),
-        TriplePattern(V("conv"), C("urn:graft:mentions"), V("e2"))))
+        TriplePattern(V("conv"), C("urn:graft:mentions"), V("e2"))),
+        distinctSPO = true)
         .where(col("e1") < col("e2"))
         .select("e1", "e2").distinct()
       construct(b, Seq(
@@ -559,7 +569,8 @@ object SparkEntry {
       bgpMinus(graphDf(s, dir),
         Seq(TriplePattern(V("turn"), C("urn:graft:partOf"), V("conv")),
           TriplePattern(V("turn"), C("urn:graft:role"), V("role"))),
-        Seq(TriplePattern(V("turn"), C("urn:graft:usedTool"), V("tool"))))
+        Seq(TriplePattern(V("turn"), C("urn:graft:usedTool"), V("tool"))),
+        distinctSPO = true)
         .groupBy("conv", "role")
         .agg(countDistinct(col("turn")).as("n_tool_free_turns"))
     }),
@@ -573,7 +584,8 @@ object SparkEntry {
       valuesJoin(
         bgp(graphDf(s, dir), Seq(
           TriplePattern(V("turn"), C("urn:graft:role"), V("role")),
-          TriplePattern(V("turn"), C("urn:graft:partOf"), V("conv")))),
+          TriplePattern(V("turn"), C("urn:graft:partOf"), V("conv"))),
+          distinctSPO = true),
         vals)
         .groupBy("role")
         .agg(countDistinct(col("turn")).as("n_turns"),
@@ -597,7 +609,8 @@ object SparkEntry {
       pathEval(graphDf(s, dir),
         PathAlt(Seq(
           PathSeq(Seq(Pred("urn:graft:partOf"), Pred("urn:graft:mentions"))),
-          Pred("urn:graft:usedTool"))))
+          Pred("urn:graft:usedTool"))),
+        distinctSPO = true)
         .groupBy(col("dst").as("target"))
         .agg(countDistinct(col("src")).as("n_turns"))
     }),

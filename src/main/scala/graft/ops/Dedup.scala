@@ -394,14 +394,18 @@ object Dedup {
       embeddings.select(col("vec_id").as(idCol), col("embedding").as(vecCol),
         posexplode(graft.functions.VecFunctions.lsh_buckets(col("embedding"), nTables, nBits, dim))
           .as(Seq("table", "bucket")))
+    // verify BEFORE dedup (the hammingBandedPairs pattern): cosine is a
+    // deterministic function of the pair, so duplicate candidates (pairs
+    // sharing several LSH cells) collapse identically — and the dedup
+    // exchange then carries only (id, id, cos) for threshold SURVIVORS
+    // instead of every candidate with both raw embedding arrays attached
     bucketed("vec_a", "ea").join(bucketed("vec_b", "eb"), Seq("table", "bucket"))
       .where(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b", "ea", "eb")
-      .dropDuplicates("vec_a", "vec_b")
       .withColumn("cos", round(
         graft.functions.VecFunctions.cosine_f(col("ea"), col("eb")), 6))
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
+      .dropDuplicates("vec_a", "vec_b")
   }
 
   // ------------------------------------------------- bloom decontamination
@@ -441,9 +445,14 @@ object Dedup {
     val refCol = refKeys.columns.head
     val pairs = (0 until k).map(i =>
       struct(slotE(i, refCol).as("slot"), maskE(i, refCol).as("mask")))
+    // pinned (lazily): the k probe-side joins below each reference this
+    // frame — unpinned, the reference-corpus explode + bit_or aggregate
+    // re-ran once PER HASH FUNCTION (k full passes over the reference).
+    // The frame is ≤ mBits/64 rows regardless of corpus size.
     val bloom = refKeys.select(explode(array(pairs: _*)).as("sm"))
       .select(col("sm.slot").as("slot"), col("sm.mask").as("mask"))
       .groupBy("slot").agg(expr("bit_or(mask)").as("bits"))
+      .localCheckpoint(false)
     var p = probe
     for (i <- 0 until k) {
       val b = bloom.select(col("slot").as(s"_bs$i"), col("bits").as(s"_bb$i"))

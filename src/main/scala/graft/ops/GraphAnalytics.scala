@@ -49,10 +49,28 @@ object GraphAnalytics {
    * list), so there is no dangling-mass term. Returns
    * (entity_id, degree, pagerank).
    */
-  def pageRank(edges: DataFrame, iters: Int = 3, d: Double = 0.85): DataFrame = {
+  /**
+   * @param deterministic true (default) keeps the oracle-exact ORDERED
+   *        contribution fold: `array_sort(collect_list(...))` materializes
+   *        every incoming contribution of a node as ONE array in ONE row —
+   *        fine on a gazetteer-bounded entity domain, an executor OOM on a
+   *        celebrity node of a 10^8-entity production graph. false is the
+   *        production mode: a plain `sum()` (partial map-side aggregation,
+   *        no per-node array, hot nodes collapse before the exchange) whose
+   *        float-order nondeterminism is the standard, accepted PageRank
+   *        behavior. Both modes agree to ~1e-6 (each iteration rounds to
+   *        6 dp, which also stops cross-iteration drift from compounding).
+   */
+  def pageRank(edges: DataFrame, iters: Int = 3, d: Double = 0.85,
+               deterministic: Boolean = true): DataFrame = {
+    // dir and deg are referenced by EVERY unrolled iteration (plus the
+    // final join): pin them lazily so the symmetrize/degree passes run
+    // once — unpinned, iteration i replayed them i times over
     val dir = edges.select(col("entity_a").as("src"), col("entity_b").as("dst"))
       .unionByName(edges.select(col("entity_b").as("src"), col("entity_a").as("dst")))
+      .localCheckpoint(false)
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
     // node count rides the plan as a broadcast 1-row aggregate
     val nn = deg.agg(count(lit(1)).as("n"))
     var pr = deg.select(col("src").as("id"))
@@ -66,13 +84,17 @@ object GraphAnalytics {
       // no checkpoint here: pr is referenced exactly once per iteration,
       // so the unrolled plan is linear and one action computes it once
       // (BFS below is the contrast case — its iterate is referenced twice)
-      pr = contrib.groupBy("dst")
-        .agg(array_sort(collect_list(struct(col("src"), col("c")))).as("parts"))
+      pr =
+        (if (deterministic)
+          contrib.groupBy("dst")
+            .agg(array_sort(collect_list(struct(col("src"), col("c")))).as("parts"))
+            .select(col("dst"), aggregate(col("parts"), lit(0.0),
+              (acc, x) => acc + x.getField("c")).as("csum"))
+        else
+          contrib.groupBy("dst").agg(sum(col("c")).as("csum")))
         .crossJoin(broadcast(nn))
         .select(col("dst").as("id"),
-          round(lit(1.0 - d) / col("n") +
-            lit(d) * aggregate(col("parts"), lit(0.0),
-              (acc, x) => acc + x.getField("c")), 6).as("pr"))
+          round(lit(1.0 - d) / col("n") + lit(d) * col("csum"), 6).as("pr"))
     }
     pr.join(deg, pr("id") === deg("src"))
       .select(col("id").as("entity_id"), col("deg").as("degree"),
@@ -107,7 +129,10 @@ object GraphAnalytics {
    * ratios, rounded to 6 dp (NPMI divides two such logs before rounding).
    */
   def pmiEdges(mentions: DataFrame): DataFrame = {
+    // referenced four times (total, marginals, both self-join sides):
+    // pin the distinct frame so the dedup shuffle runs once
     val cm = mentions.select(col("conv_id"), col("entity_id")).distinct()
+      .localCheckpoint(false)
     val nTotal = cm.select(col("conv_id")).distinct().agg(count(lit(1)).as("n"))
     val marg = cm.groupBy("entity_id").agg(count(lit(1)).as("n_e"))
     val a = cm.select(col("conv_id"), col("entity_id").as("entity_a"))
@@ -166,8 +191,11 @@ object GraphAnalytics {
    * celebrity-entity skew. Returns (entity_id, community, community_size).
    */
   def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    // referenced by every unrolled round + the seed-label distinct: pin so
+    // the symmetrize pass runs once
     val dir = edges.select(col("entity_a").as("src"), col("entity_b").as("dst"), col("weight"))
       .unionByName(edges.select(col("entity_b").as("src"), col("entity_a").as("dst"), col("weight")))
+      .localCheckpoint(false)
     var labels = dir.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
     for (_ <- 1 to iters) {
@@ -179,6 +207,13 @@ object GraphAnalytics {
         .agg(min(struct((-col("w")).as("nw"), col("label"))).as("top"))
         .select(col("src").as("id"), col("top.label").as("label"))
     }
+    // the final frame is referenced twice below (sizes + join) and up to
+    // three more times by modularity(); without pinning, every reference
+    // re-executes the whole unrolled iterate (measured: q_kg_modularity
+    // replayed the 3-round LPA per reference). The frame is nodes-sized;
+    // the checkpoint is LAZY so no extra blocking job is launched — the
+    // first action materializes it once and later references hit the cache.
+    labels = labels.localCheckpoint(false)
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
     labels.join(sizes, Seq("label"))
       .select(col("id").as("entity_id"), col("label").as("community"),
@@ -195,8 +230,10 @@ object GraphAnalytics {
    * windows for KG-grounded retrieval).
    */
   def bfsDistance(edges: DataFrame, seedPred: Column, iters: Int = 4): DataFrame = {
+    // referenced by every relaxation round + the node set: pin once
     val dir = edges.select(col("entity_a").as("src"), col("entity_b").as("dst"))
       .unionByName(edges.select(col("entity_b").as("src"), col("entity_a").as("dst")))
+      .localCheckpoint(false)
     val nodes = dir.select(col("src").as("id")).distinct()
     var dist = nodes.where(seedPred).select(col("id"), lit(0L).as("dist"))
     for (_ <- 1 to iters) {
@@ -204,10 +241,12 @@ object GraphAnalytics {
         .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
       // each round references the previous frontier TWICE (carry + expand):
       // unchecked that doubles the replayed lineage per round (2^iters);
-      // localCheckpoint pins each round's result instead
+      // localCheckpoint pins each round's result instead. LAZY: an eager
+      // checkpoint blocked on one job per round — the lazy chain
+      // materializes every round exactly once inside the final action.
       dist = dist.unionByName(relaxed)
         .groupBy("id").agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     dist.select(col("id").as("entity_id"), col("dist"))
   }
@@ -224,16 +263,22 @@ object GraphAnalytics {
    * (degree count + semi-join) and feeds every later round.
    */
   def kCore(edges: DataFrame, k: Int = 2, rounds: Int = 4): DataFrame = {
-    var e = edges.select(col("entity_a"), col("entity_b")).localCheckpoint()
+    // lazy checkpoints: each round's surviving-edge frame is pinned (it is
+    // referenced three times — degree count + both semi-joins — and feeds
+    // every later round) but materialized only once, inside the final
+    // action, instead of one blocking job per round
+    var e = edges.select(col("entity_a"), col("entity_b")).localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val deg = e.select(col("entity_a").as("u"))
         .unionByName(e.select(col("entity_b").as("u")))
         .groupBy("u").agg(count(lit(1)).as("deg"))
-      val keep = deg.where(col("deg") >= k).select(col("u"))
+      // keep is referenced by both semi-joins: pin the nodes-sized frame
+      // so the degree aggregate runs once per round
+      val keep = deg.where(col("deg") >= k).select(col("u")).localCheckpoint(false)
       e = e
         .join(keep.select(col("u").as("entity_a")), Seq("entity_a"), "leftsemi")
         .join(keep.select(col("u").as("entity_b")), Seq("entity_b"), "leftsemi")
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     e.select(col("entity_a").as("u"))
       .unionByName(e.select(col("entity_b").as("u")))
@@ -262,11 +307,26 @@ object GraphAnalytics {
    * construction, so every count is an exact integer; jaccard is one
    * rounded division.
    */
-  def nodeSimilarity(edges: DataFrame): DataFrame = {
+  /**
+   * @param hubDegreeCap production guard for the deg² wedge blowup through
+   *        a hub neighbor: wedges are only enumerated through shared
+   *        neighbors whose degree is ≤ the cap (a celebrity entity shared
+   *        by millions of nodes carries no discriminative similarity
+   *        signal, and its pair fan-out is quadratic). None (default)
+   *        enumerates every wedge — the oracle-exact mode.
+   */
+  def nodeSimilarity(edges: DataFrame, hubDegreeCap: Option[Long] = None): DataFrame = {
+    // referenced three times (degree pass + both wedge-join sides): pin
     val dir = edges.select(col("entity_a").as("u"), col("entity_b").as("n"))
       .unionByName(edges.select(col("entity_b").as("u"), col("entity_a").as("n")))
+      .localCheckpoint(false)
     val deg = dir.groupBy("u").agg(count(lit(1)).as("deg"))
-    val pairs = dir.as("x").join(dir.as("y"),
+    val wedgeSrc = hubDegreeCap match {
+      case Some(cap) => dir.join(
+        deg.where(col("deg") <= cap).select(col("u").as("n")), Seq("n"), "leftsemi")
+      case None => dir
+    }
+    val pairs = wedgeSrc.as("x").join(wedgeSrc.as("y"),
         col("x.n") === col("y.n") && col("x.u") < col("y.u"))
       .groupBy(col("x.u").as("entity_a"), col("y.u").as("entity_b"))
       .agg(count(lit(1)).as("common"))
@@ -297,7 +357,13 @@ object GraphAnalytics {
    * reader precisely because a cross-row float fold would need an order
    * pin).
    */
-  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+  def modularity(edges: DataFrame, labelsIn: DataFrame): DataFrame = {
+    // `labels` is referenced three times (two edge-endpoint joins + the
+    // degree rollup); pin it (lazily — no extra blocking job) so an
+    // expensive upstream assignment (e.g. labelPropagation's unrolled
+    // iterate) is computed once, not thrice. The frame is nodes-sized,
+    // so the checkpoint is cheap at any scale.
+    val labels = labelsIn.localCheckpoint(false)
     val e = edges.select(col("entity_a"), col("entity_b"))
     val m = e.agg(count(lit(1)).as("m"))
     val intra = e
@@ -325,9 +391,13 @@ object GraphAnalytics {
 
   def triangles(edges: DataFrame): DataFrame = {
     val e = edges.select(col("entity_a"), col("entity_b"))
+    // deg is referenced four times (two orientation joins + the final
+    // left join), ori three times (both wedge sides + the closing join):
+    // pin both so the degree pass and the orientation run once each
     val deg = e.select(col("entity_a").as("u"))
       .unionByName(e.select(col("entity_b").as("u")))
       .groupBy("u").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
     val withDeg = e
       .join(deg.select(col("u").as("entity_a"), col("deg").as("da")), Seq("entity_a"))
       .join(deg.select(col("u").as("entity_b"), col("deg").as("db")), Seq("entity_b"))
@@ -336,6 +406,7 @@ object GraphAnalytics {
       when(lower, col("entity_a")).otherwise(col("entity_b")).as("u"),
       when(lower, col("entity_b")).otherwise(col("entity_a")).as("v"),
       when(lower, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint(false)
     val e1 = ori.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
     val e2 = ori.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
     val wedges = e1.join(e2, Seq("u"))

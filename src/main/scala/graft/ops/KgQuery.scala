@@ -45,7 +45,18 @@ object KgQuery {
    * the prefix is a genuine cross product — allowed, as in SPARQL, but
    * the caller should order patterns so it never happens by accident).
    */
-  def bgp(graph: DataFrame, patterns: Seq[TriplePattern]): DataFrame = {
+  /**
+   * @param distinctSPO caller asserts the graph is distinct at (s, p, o)
+   *        grain (set semantics per triple, not just per (s, p, o, kind)).
+   *        Then EVERY single-pattern projection is already distinct — each
+   *        of the three positions is either an equality-filtered constant
+   *        or equal to a projected variable, so the projection is injective
+   *        on graph rows — and the per-pattern dedup exchange is skipped
+   *        (one shuffle saved per pattern; guide §2.4 "a distinct on data
+   *        that is already unique").
+   */
+  def bgp(graph: DataFrame, patterns: Seq[TriplePattern],
+          distinctSPO: Boolean = false): DataFrame = {
     require(patterns.nonEmpty, "empty basic graph pattern")
     def one(tp: TriplePattern): DataFrame = {
       val binds = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
@@ -63,9 +74,11 @@ object KgQuery {
       }
       val names = varCols.map(_._2).distinct
       val first = varCols.groupBy(_._2).map { case (n, g) => (n, g.head._1) }
-      // set semantics per pattern: the graph is distinct on (s, p, o) but a
-      // projection onto the variable positions may collapse rows
-      df.select(names.map(n => col(first(n)).as(n)): _*).dropDuplicates(names)
+      // set semantics per pattern: a projection onto the variable positions
+      // may collapse rows — unless the graph is distinct at (s, p, o) grain,
+      // in which case the projection is injective (see distinctSPO above)
+      val proj = df.select(names.map(n => col(first(n)).as(n)): _*)
+      if (distinctSPO) proj else proj.dropDuplicates(names)
     }
     patterns.map(one).reduceLeft { (acc, next) =>
       val shared = acc.columns.toSet.intersect(next.columns.toSet).toSeq.sorted
@@ -84,9 +97,10 @@ object KgQuery {
    * optional is a cross product that silently multiplies bindings).
    */
   def bgpOptional(graph: DataFrame, required: Seq[TriplePattern],
-                  optional: Seq[Seq[TriplePattern]]): DataFrame =
-    optional.foldLeft(bgp(graph, required)) { (acc, group) =>
-      val opt = bgp(graph, group)
+                  optional: Seq[Seq[TriplePattern]],
+                  distinctSPO: Boolean = false): DataFrame =
+    optional.foldLeft(bgp(graph, required, distinctSPO)) { (acc, group) =>
+      val opt = bgp(graph, group, distinctSPO)
       val shared = acc.columns.toSet.intersect(opt.columns.toSet).toSeq.sorted
       require(shared.nonEmpty,
         s"optional group ${group.mkString(", ")} shares no variable with the required pattern")
@@ -129,9 +143,10 @@ object KgQuery {
    * distinct key set.
    */
   def bgpMinus(graph: DataFrame, required: Seq[TriplePattern],
-               minusGroup: Seq[TriplePattern]): DataFrame = {
-    val req = bgp(graph, required)
-    val mns = bgp(graph, minusGroup)
+               minusGroup: Seq[TriplePattern],
+               distinctSPO: Boolean = false): DataFrame = {
+    val req = bgp(graph, required, distinctSPO)
+    val mns = bgp(graph, minusGroup, distinctSPO)
     val shared = req.columns.toSet.intersect(mns.columns.toSet).toSeq.sorted
     if (shared.isEmpty) req
     else req.join(mns.select(shared.map(col): _*).dropDuplicates(shared),
@@ -168,7 +183,11 @@ object KgQuery {
       resources.select(col(resources.columns.head).as("_r")).distinct())
     graph.join(r, col("s") === col("_r"), "left_semi")
       .unionByName(graph.join(r, col("o") === col("_r"), "left_semi"))
-      .dropDuplicates("s", "p", "o")
+      // dedup on EVERY carried column: the two semi-join branches overlap
+      // (a triple whose s and o are both described), but two graph rows
+      // that differ only in a non-(s,p,o) column (e.g. o_kind) are
+      // distinct rows and must both survive
+      .dropDuplicates(graph.columns)
   }
 
   /**
@@ -214,19 +233,25 @@ object KgQuery {
    * every step is a plain predicate — this evaluator exists for `^`, `|`,
    * and composition under them, which BGP cannot express).
    */
-  def pathEval(graph: DataFrame, path: Path): DataFrame = path match {
+  def pathEval(graph: DataFrame, path: Path,
+               distinctSPO: Boolean = false): DataFrame = path match {
     case Pred(iri) =>
-      graph.where(col("p") === iri)
-        .select(col("s").as("src"), col("o").as("dst")).dropDuplicates("src", "dst")
+      // with a (s, p, o)-distinct graph the fixed-p projection is already
+      // distinct — skip the dedup exchange (alternation/sequence below
+      // still dedup: unions and compositions genuinely create duplicates)
+      val scan = graph.where(col("p") === iri)
+        .select(col("s").as("src"), col("o").as("dst"))
+      if (distinctSPO) scan else scan.dropDuplicates("src", "dst")
     case Inv(p) =>
-      pathEval(graph, p).select(col("dst").as("src"), col("src").as("dst"))
+      pathEval(graph, p, distinctSPO)
+        .select(col("dst").as("src"), col("src").as("dst"))
     case PathAlt(alts) =>
       require(alts.nonEmpty, "empty path alternation")
-      alts.map(pathEval(graph, _)).reduceLeft(_ unionByName _)
+      alts.map(pathEval(graph, _, distinctSPO)).reduceLeft(_ unionByName _)
         .dropDuplicates("src", "dst")
     case PathSeq(steps) =>
       require(steps.nonEmpty, "empty path sequence")
-      steps.map(pathEval(graph, _)).reduceLeft { (acc, next) =>
+      steps.map(pathEval(graph, _, distinctSPO)).reduceLeft { (acc, next) =>
         acc.join(next.select(col("src").as("_mid"), col("dst").as("_nd")),
           acc("dst") === col("_mid"))
           .select(acc("src"), col("_nd").as("dst")).dropDuplicates("src", "dst")
@@ -252,27 +277,34 @@ object KgQuery {
    * pairs never improve the min and the pair set saturates).
    */
   def transitiveClosure(edges: DataFrame, maxIters: Int = 10): DataFrame = {
+    // SEMI-NAIVE evaluation (the standard datalog/BFS delta iterate): only
+    // pairs DISCOVERED LAST ROUND extend by one edge, and only genuinely
+    // new pairs enter the frame. A pair first appears at exactly its
+    // minimum hop count (BFS level), so results are identical to the
+    // naive re-aggregate — but each round joins the (shrinking) frontier
+    // instead of every known path, and nothing re-aggregates the full
+    // closure per round. Round cost: one frontier join + one candidate
+    // dedup + one anti-join against the known set; the naive variant
+    // shuffled and re-aggregated the ENTIRE path set every round.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col("src"), col("dst")).dropDuplicates("src", "dst")
-    var paths = e.withColumn("dist", lit(1L))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var n = paths.count()
+      .persist(lvl)
+    val hop = e.select(col("src").as("_hs"), col("dst").as("_hd"))
+    var frontier = e.withColumn("dist", lit(1L)).persist(lvl)
+    var frontierN = frontier.count()
+    var known = frontier
     var it = 1
-    var converged = false
-    while (!converged && it < maxIters) {
-      val hop = e.select(col("src").as("_hs"), col("dst").as("_hd"))
-      val grown = paths.join(hop, paths("dst") === col("_hs"))
-        .select(paths("src"), col("_hd").as("dst"), (col("dist") + 1L).as("dist"))
-      val next = paths.unionByName(grown)
-        .groupBy("src", "dst").agg(min("dist").as("dist"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val m = next.count()
-      paths.unpersist()
-      paths = next
-      converged = m == n
-      n = m
+    while (frontierN > 0 && it < maxIters) {
+      val grown = frontier.join(hop, frontier("dst") === col("_hs"))
+        .select(frontier("src"), col("_hd").as("dst"), (col("dist") + 1L).as("dist"))
+        .dropDuplicates("src", "dst")
+      val fresh = grown.join(known, Seq("src", "dst"), "left_anti").persist(lvl)
+      frontierN = fresh.count()
+      if (frontierN > 0) known = known.unionByName(fresh)
+      frontier = fresh
       it += 1
     }
-    paths
+    known
   }
 
   /**
@@ -299,12 +331,19 @@ object KgQuery {
     val dir = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .dropDuplicates("src", "dst")
+    // nbr and deg are referenced by EVERY unrolled step (walkLen × 2 joins);
+    // unpinned, each reference replays the symmetrize+dedup+window chain.
+    // Lazy checkpoints materialize each exactly once inside the action.
     val nbr = dir.select(col("src").as("nsrc"), col("dst").as("ndst"),
       (row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
         .cast("long").as("idx"))
+      .localCheckpoint(false)
     val deg = nbr.groupBy(col("nsrc").as("dsrc")).agg(count(lit(1)).as("deg"))
-    var frame = dir.select(col("src")).distinct()
-      .select(col("src").as("start"),
+      .localCheckpoint(false)
+    // start set = deg's key set (one row per distinct source) — reuses the
+    // pinned frame instead of a third pass over the symmetrized edges
+    var frame = deg.select(col("dsrc").as("start"))
+      .select(col("start"),
         explode(sequence(lit(1), lit(walksPerNode))).as("w"))
       .select(col("start"), col("w"), col("start").as("cur"),
         col("start").as("path"))

@@ -122,11 +122,16 @@ object NgramQuality {
       .select(col("doc_id"), col("pos"),
         substring_index(col("ng"), " ", 1).as("head"),
         substring_index(col("ng"), " ", -1).as("next"))
-    val bigramCounts = bigrams.groupBy("head", "next").agg(count(lit(1)).as("cb"))
     // per-document DISTINCT bigrams with occurrence count and first position
     // — the frame the count joins carry (see skew note above)
     val docBigrams = bigrams.groupBy("doc_id", "head", "next")
       .agg(count(lit(1)).as("cnt"), min("pos").as("pos"))
+    // corpus bigram counts FOLD OVER docBigrams (Σ per-doc counts = global
+    // count, exact integers): the raw occurrence stream is exploded and
+    // shuffled once, not twice, and because the aggregate and the join
+    // below both key on (head, next) the docBigrams exchange is planned
+    // once and reused (ReusedExchange) for the count side
+    val bigramCounts = docBigrams.groupBy("head", "next").agg(sum(col("cnt")).as("cb"))
     val scored = docBigrams
       .join(bigramCounts, Seq("head", "next"))
       .join(unigrams, Seq("head"))
@@ -169,13 +174,18 @@ object NgramQuality {
   def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame = {
     val toks = docs.select(col("doc_id"), isTarget.as("is_target"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    val counts = toks.groupBy("tok").agg(
-      count(lit(1)).as("c_s"),
-      sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("c_t"))
+    // `is_target` is constant within a document, so carrying it in the
+    // grouping key leaves the (doc_id, tok) groups unchanged
+    val docToks = toks.groupBy("doc_id", "is_target", "tok")
+      .agg(count(lit(1)).as("cnt"), min("pos").as("pos"))
+    // corpus counts FOLD OVER docToks (Σ per-doc counts = global count,
+    // exact integers): the token stream is exploded and shuffled once —
+    // the previous separate corpus aggregate re-ran the whole explode
+    val counts = docToks.groupBy("tok").agg(
+      sum(col("cnt")).as("c_s"),
+      sum(when(col("is_target"), col("cnt")).otherwise(lit(0L))).as("c_t"))
     val totals = counts.agg(count(lit(1)).as("vocab"),
       sum(col("c_s")).as("n_s"), sum(col("c_t")).as("n_t"))
-    val docToks = toks.groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("cnt"), min("pos").as("pos"))
     val scored = docToks
       .join(counts, Seq("tok"))
       .crossJoin(broadcast(totals))

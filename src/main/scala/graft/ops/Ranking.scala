@@ -49,6 +49,9 @@ object Ranking {
       .where(col("term").isin(terms: _*))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      // referenced twice (df + the contribution join): pin the ≤|terms|×|docs|
+      // frame lazily so the corpus tokenize+explode runs once, not twice
+      .localCheckpoint(false)
     val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val contrib = tf
       .join(broadcast(df), Seq("term"))
@@ -76,7 +79,11 @@ object Ranking {
    * bucketed upstream, so nothing here is all-pairs. Ties on the rounded
    * score break by neighbor id — rank boundaries are deterministic.
    */
-  def knnFromPairs(scored: DataFrame, k: Int = 3): DataFrame = {
+  def knnFromPairs(scoredIn: DataFrame, k: Int = 3): DataFrame = {
+    // the symmetrize union references the scored-pairs frame twice;
+    // pin it (candidate-pairs-sized) so an expensive upstream scorer
+    // (LSH candidates + Jaccard verify) runs once, not twice
+    val scored = scoredIn.localCheckpoint(false)
     val sym = scored
       .select(col("doc_a").as("doc_id"), col("doc_b").as("neighbor"), col("jaccard"))
       .unionByName(scored
@@ -96,6 +103,9 @@ object Ranking {
     val tfc = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // referenced twice (df + the scored join): pin the postings-sized
+      // frame lazily so the corpus tokenize+explode runs once, not twice
+      .localCheckpoint(false)
     val df = tfc.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("n"))
     val scored = tfc.join(df, Seq("term")).crossJoin(broadcast(n))
@@ -129,6 +139,9 @@ object Ranking {
     val tfc = docs
       .select(col("source"), explode(split(col("text"), " ")).as("term"))
       .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      // referenced twice (sf + the scored join): pin so the corpus
+      // tokenize+explode runs once, not twice
+      .localCheckpoint(false)
     val sf = tfc.groupBy("term").agg(count(lit(1)).cast("double").as("sf"))
     val n = docs.select(col("source")).distinct()
       .agg(count(lit(1)).cast("double").as("n"))

@@ -119,8 +119,11 @@ object Sessionize {
         col("event_id"), col("event_type"))
       .withColumn("dst_type", lead(col("event_type"), 1).over(order))
       .where(col("dst_type").isNotNull)
+    // cnt is |types|²-sized and referenced twice (totals + final join):
+    // pin it so the user-keyed window pass over the event stream runs once
     val cnt = seq.groupBy(col("event_type").as("src_type"), col("dst_type"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
     val tot = cnt.groupBy("src_type").agg(sum("n").as("n_src"))
     cnt.join(broadcast(tot), Seq("src_type"))
       .select(col("src_type"), col("dst_type"), col("n"),

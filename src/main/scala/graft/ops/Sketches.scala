@@ -183,9 +183,15 @@ object Sketches {
     }
     val scaled = df.select(col("event_id"), col(groupCol), col(valueCol),
       round(col(valueCol) * scale, 0).cast("long").as("s"))
-    val med = medianOf(scaled, "s")
+    // med is groups-sized — pin it so the first median window runs once;
+    // dev is referenced twice (the MAD median + the final flag join), so
+    // pin it too: the alternative replays a full scan+join per reference.
+    // (At full corpus scale this materializes an events-sized frame — the
+    // operator is per-slice exact reporting by contract, see scaladoc.)
+    val med = medianOf(scaled, "s").localCheckpoint(false)
     val dev = scaled.join(broadcast(med), Seq(groupCol))
       .withColumn("d", abs(col("s") - col("med_s")))
+      .localCheckpoint(false)
     val mad = medianOf(dev.select(col(groupCol), col("d")), "d")
     val z = (col("s").cast("double") - col("med_s").cast("double")) /
       (lit(1.4826) * col("med_d").cast("double"))
@@ -203,8 +209,23 @@ object Sketches {
    */
   def kmvOverlap(a: DataFrame, b: DataFrame, valueCol: String,
                  k: Int = KmvK): DataFrame = {
-    val sa = kmvSketch(a, valueCol, k)
-    val sb = kmvSketch(b, valueCol, k)
+    // ONE fused pass over both element streams (guide §1.2: don't compute
+    // things twice): the previous shape scanned/exploded each side TWICE
+    // (side sketch + exact distinct count = 4 full passes). Here both
+    // sides union into a single distinct-hash aggregate carrying side-
+    // membership flags; the sketches, the exact counts and the union
+    // sketch are then ≤|distinct|-row scans of the pinned frame. Contents
+    // are identical: distinct md5 per side, k smallest per side.
+    val hashed = a.select(md5(col(valueCol)).as("h"),
+        lit(1L).as("fa"), lit(0L).as("fb"))
+      .unionByName(b.select(md5(col(valueCol)).as("h"),
+        lit(0L).as("fa"), lit(1L).as("fb")))
+    val dh = hashed.groupBy("h")
+      .agg(max(col("fa")).as("fa"), max(col("fb")).as("fb"))
+      .localCheckpoint(false) // referenced 3× below (sketches + exact counts);
+                              // lazy: pinned once inside the single action
+    val sa = dh.where(col("fa") === 1L).select("h").orderBy("h").limit(k)
+    val sb = dh.where(col("fb") === 1L).select("h").orderBy("h").limit(k)
     val su = sa.unionByName(sb).distinct().orderBy("h").limit(k)
 
     def stats(s: DataFrame, kCol: String, mCol: String): DataFrame =
@@ -218,19 +239,17 @@ object Sketches {
 
     val shared = su.join(sa, Seq("h")).join(sb, Seq("h"))
       .agg(count(lit(1)).as("shared"))
-    val exactA = a.select(md5(col(valueCol)).as("h")).distinct()
-      .agg(count(lit(1)).as("exact_a"))
-    val exactB = b.select(md5(col(valueCol)).as("h")).distinct()
-      .agg(count(lit(1)).as("exact_b"))
+    val exacts = dh.agg(sum(col("fa")).as("exact_a"), sum(col("fb")).as("exact_b"))
 
     val estU = est(col("ku"), col("mu"))
     stats(sa, "ka", "ma")
       .crossJoin(stats(sb, "kb", "mb"))
       .crossJoin(stats(su, "ku", "mu"))
-      .crossJoin(shared).crossJoin(exactA).crossJoin(exactB)
+      .crossJoin(shared).crossJoin(exacts)
       .select(
         lit(k.toLong).as("k"),
-        col("exact_a"), col("exact_b"),
+        coalesce(col("exact_a"), lit(0L)).as("exact_a"),
+        coalesce(col("exact_b"), lit(0L)).as("exact_b"),
         round(est(col("ka"), col("ma")), 6).as("est_a"),
         round(est(col("kb"), col("mb")), 6).as("est_b"),
         round(estU, 6).as("est_union"),
@@ -264,10 +283,18 @@ object Sketches {
       hexPrefixValue(md5(concat(r.cast("string"), lit("#"), v)), widthNibbles)
         .cast("long")
     val rows = explode(sequence(lit(0), lit(depth - 1)))
-    val counters = elems.select(col(valueCol).as("v"), rows.as("r"))
-      .select(col("r"), bucket(col("v"), col("r")).as("bucket"))
-      .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
-    elems.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("exact_cnt"))
+    // ONE pass over the element stream: the per-value exact counts feed
+    // BOTH the sketch counters (counter = Σ counts of values hashing into
+    // the bucket — identical integers to counting raw occurrences) and the
+    // candidate scoring. Previously the raw stream was exploded and
+    // aggregated twice. The frame is vocabulary-sized; pinned lazily.
+    val vCounts = elems.groupBy(col(valueCol).as("v"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .localCheckpoint(false)
+    val counters = vCounts.select(col("v"), col("exact_cnt"), rows.as("r"))
+      .select(col("r"), bucket(col("v"), col("r")).as("bucket"), col("exact_cnt"))
+      .groupBy("r", "bucket").agg(sum(col("exact_cnt")).as("c"))
+    vCounts
       .select(col("v"), col("exact_cnt"), rows.as("r"))
       .withColumn("bucket", bucket(col("v"), col("r")))
       .join(counters, Seq("r", "bucket"))

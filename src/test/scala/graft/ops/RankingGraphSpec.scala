@@ -242,4 +242,39 @@ class RankingGraphSpec extends AnyFunSuite {
       ("cat", "cot", 1L, 2L, 1L),
       ("dig", "dog", 1L, 1L, 1L)))
   }
+
+  test("pageRank production mode (plain sum) agrees with the ordered-fold mode to 1e-6") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 2L), ("b", "c", 1L), ("a", "c", 3L), ("c", "d", 1L))
+      .toDF("entity_a", "entity_b", "weight")
+    val det = GraphAnalytics.pageRank(edges).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val prod = GraphAnalytics.pageRank(edges, deterministic = false).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(det.keySet == prod.keySet)
+    det.foreach { case (id, pr) =>
+      assert(math.abs(pr - prod(id)) <= 1e-6, s"$id: $pr vs ${prod(id)}")
+    }
+  }
+
+  test("nodeSimilarity hub cap: a non-binding cap changes nothing; a binding cap prunes hub wedges") {
+    import spark.implicits._
+    // star through hub h (degree 3) plus a pendant pair via x (degree 2)
+    val edges = Seq(("a", "h"), ("b", "h"), ("c", "h"), ("a", "x"), ("b", "x"))
+      .toDF("entity_a", "entity_b")
+    val base = GraphAnalytics.nodeSimilarity(edges)
+      .select("entity_a", "entity_b", "common").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val loose = GraphAnalytics.nodeSimilarity(edges, hubDegreeCap = Some(100L))
+      .select("entity_a", "entity_b", "common").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(base == loose, "non-binding cap must not change the result")
+    val capped = GraphAnalytics.nodeSimilarity(edges, hubDegreeCap = Some(2L))
+      .select("entity_a", "entity_b", "common").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // wedges THROUGH h (deg 3) are pruned — a/b/c no longer pair via h; the
+    // (a,b) wedge through x and the (h,x) wedges through a and b survive
+    // (the cap gates the shared NEIGHBOR, not the endpoints)
+    assert(capped == Map(("a", "b") -> 1L, ("h", "x") -> 2L))
+  }
 }

@@ -50,4 +50,24 @@ class SkewSpec extends AnyFunSuite {
       .groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lin(0L) >= 1000L, s"linear scaling must hoard bucket 0 here: $lin")
   }
+
+  test("quantileBucket (scale-safe map form) is bit-identical to the global percent_rank window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // skewed values incl. ties and a null — the window form orders NULLS FIRST
+    val xs: Seq[java.lang.Long] =
+      Seq[java.lang.Long](7L, 7L, 7L, 1L, 2L, 2L, 9L, 100L, 100L, 3L, null)
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    val bits = 2
+    val size = 1L << bits
+    val got = Layout.quantileBucket(df, "x", bits)
+      .select(col("id"), col("_qb_x")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.withColumn("_qb_x",
+        least(floor(percent_rank().over(Window.orderBy(col("x"))) * size)
+          .cast("long"), lit(size - 1)))
+      .select(col("id"), col("_qb_x")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"map-form buckets diverge from window form: $got vs $want")
+  }
 }

@@ -890,13 +890,12 @@ object SparkEntry {
     // ---- KMV-sketch corpus overlap: train-vs-eval bigram-shingle overlap
     // estimated from two 256-value sketches (plus exact counts for
     // accuracy visibility) — the sub-linear contamination-triage primitive
-    "q_kmv_overlap" -> ((s, dir) => {
-      val sh = Dedup.bigramShingles(docs(s, dir))
-      Sketches.kmvOverlap(
-        sh.where(col("doc_id") % 97 =!= 0).select("shingle"),
-        sh.where(col("doc_id") % 97 === 0).select("shingle"),
-        "shingle")
-    }))
+    // split variant: train/eval are a PARTITION of one shingle stream, so
+    // the corpus-wide shingle explode runs once, not once per side —
+    // identical report (verified oracle-equal)
+    "q_kmv_overlap" -> ((s, dir) =>
+      Sketches.kmvOverlapSplit(Dedup.bigramShingles(docs(s, dir)),
+        "shingle", col("doc_id") % 97 === 0)))
 
   /** Fixed BM25 query terms (drawn from the synthetic corpus vocabulary). */
   private val Bm25Terms = Seq("spark", "merge", "window")

@@ -259,6 +259,11 @@ object Dedup {
    * pass it here instead of re-exploding per reference.
    */
   def ngramJaccardFromShingles(sh: DataFrame, pairs: DataFrame): DataFrame = {
+    // NOT pinned: callers route through CacheScope-managed persists
+    // (DedupPipeline.runTo unpersists at its completion point — a
+    // localCheckpoint here would leak past that lifecycle), and `sh` is
+    // already persisted by every caller, so the recomputed aggregate is one
+    // scan of the cached shingle frame per reference.
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")

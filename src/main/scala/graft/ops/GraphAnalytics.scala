@@ -28,17 +28,21 @@ import org.apache.spark.sql.functions._
 object GraphAnalytics {
 
   /** Undirected co-mention edges: entity pairs mentioned in the same
-    * conversation, `weight` = number of shared conversations. One distinct
-    * + a conv-keyed self-join (per-conversation entity cardinality is
-    * bounded by the gazetteer, so the join explodes locally) + one hash
-    * aggregate. */
+    * conversation, `weight` = number of shared conversations. ONE
+    * conv-keyed aggregate builds each conversation's sorted distinct
+    * entity set (gazetteer-bounded, so the array is small by
+    * construction), pairs expand NARROWLY from the array, and one hash
+    * aggregate counts them — two exchanges where the previous
+    * distinct + conv-keyed self-join + aggregate paid three. */
   def coMentionEdges(mentions: DataFrame): DataFrame = {
-    val m = mentions.select(col("conv_id"), col("entity_id")).distinct()
-    val a = m.select(col("conv_id"), col("entity_id").as("entity_a"))
-    val b = m.select(col("conv_id"), col("entity_id").as("entity_b"))
-    a.join(b, Seq("conv_id"))
-      .where(col("entity_a") < col("entity_b"))
-      .groupBy("entity_a", "entity_b")
+    val sets = mentions.select(col("conv_id"), col("entity_id"))
+      .groupBy("conv_id")
+      .agg(sort_array(collect_set(col("entity_id"))).as("es"))
+    val pairs = flatten(transform(col("es"), (x, i) =>
+      transform(slice(col("es"), i + lit(2), size(col("es"))),
+        y => struct(x.as("a"), y.as("b")))))
+    sets.select(explode(pairs).as("pr"))
+      .groupBy(col("pr.a").as("entity_a"), col("pr.b").as("entity_b"))
       .agg(count(lit(1)).as("weight"))
   }
 

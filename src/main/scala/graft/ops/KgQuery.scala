@@ -291,10 +291,13 @@ object KgQuery {
       .persist(lvl)
     val hop = e.select(col("src").as("_hs"), col("dst").as("_hd"))
     var frontier = e.withColumn("dist", lit(1L)).persist(lvl)
-    var frontierN = frontier.count()
+    // no eager count of the seed frontier: an empty edge set just makes the
+    // first round's join produce an empty fresh frame and the loop exits —
+    // the check that matters is the per-round fresh count
+    var frontierN = -1L
     var known = frontier
     var it = 1
-    while (frontierN > 0 && it < maxIters) {
+    while (frontierN != 0 && it < maxIters) {
       val grown = frontier.join(hop, frontier("dst") === col("_hs"))
         .select(frontier("src"), col("_hd").as("dst"), (col("dist") + 1L).as("dist"))
         .dropDuplicates("src", "dst")

@@ -110,7 +110,10 @@ object NgramQuality {
   def bigramLmScores(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    // pinned: referenced twice (vocab count + the score join) — unpinned,
+    // the vocab branch replayed the whole token explode+aggregate
     val unigrams = toks.groupBy(col("tok").as("head")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint(false)
     // V rides the plan as a broadcast 1-row aggregate (no eager count job
     // at plan-build; the whole score stays one lazy dataflow)
     val vocabDf = unigrams.agg(count(lit(1)).as("vocab"))
@@ -123,14 +126,15 @@ object NgramQuality {
         substring_index(col("ng"), " ", 1).as("head"),
         substring_index(col("ng"), " ", -1).as("next"))
     // per-document DISTINCT bigrams with occurrence count and first position
-    // — the frame the count joins carry (see skew note above)
+    // — the frame the count joins carry (see skew note above). Pinned: it
+    // is referenced twice (corpus-count aggregate + the score join), and
+    // the frame is the postings-sized artifact, not the raw stream.
     val docBigrams = bigrams.groupBy("doc_id", "head", "next")
       .agg(count(lit(1)).as("cnt"), min("pos").as("pos"))
+      .localCheckpoint(false)
     // corpus bigram counts FOLD OVER docBigrams (Σ per-doc counts = global
     // count, exact integers): the raw occurrence stream is exploded and
-    // shuffled once, not twice, and because the aggregate and the join
-    // below both key on (head, next) the docBigrams exchange is planned
-    // once and reused (ReusedExchange) for the count side
+    // shuffled once, not twice
     val bigramCounts = docBigrams.groupBy("head", "next").agg(sum(col("cnt")).as("cb"))
     val scored = docBigrams
       .join(bigramCounts, Seq("head", "next"))
@@ -175,15 +179,19 @@ object NgramQuality {
     val toks = docs.select(col("doc_id"), isTarget.as("is_target"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
     // `is_target` is constant within a document, so carrying it in the
-    // grouping key leaves the (doc_id, tok) groups unchanged
+    // grouping key leaves the (doc_id, tok) groups unchanged. Pinned: the
+    // frame is referenced twice (corpus counts + the score join).
     val docToks = toks.groupBy("doc_id", "is_target", "tok")
       .agg(count(lit(1)).as("cnt"), min("pos").as("pos"))
+      .localCheckpoint(false)
     // corpus counts FOLD OVER docToks (Σ per-doc counts = global count,
     // exact integers): the token stream is exploded and shuffled once —
-    // the previous separate corpus aggregate re-ran the whole explode
+    // the previous separate corpus aggregate re-ran the whole explode.
+    // Pinned (vocabulary-sized): referenced by totals AND the join.
     val counts = docToks.groupBy("tok").agg(
       sum(col("cnt")).as("c_s"),
       sum(when(col("is_target"), col("cnt")).otherwise(lit(0L))).as("c_t"))
+      .localCheckpoint(false)
     val totals = counts.agg(count(lit(1)).as("vocab"),
       sum(col("c_s")).as("n_s"), sum(col("c_t")).as("n_t"))
     val scored = docToks

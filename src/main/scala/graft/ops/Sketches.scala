@@ -208,18 +208,36 @@ object Sketches {
    * counts of each side so accuracy is visible at test scale.
    */
   def kmvOverlap(a: DataFrame, b: DataFrame, valueCol: String,
-                 k: Int = KmvK): DataFrame = {
+                 k: Int = KmvK): DataFrame =
     // ONE fused pass over both element streams (guide §1.2: don't compute
     // things twice): the previous shape scanned/exploded each side TWICE
-    // (side sketch + exact distinct count = 4 full passes). Here both
-    // sides union into a single distinct-hash aggregate carrying side-
-    // membership flags; the sketches, the exact counts and the union
-    // sketch are then ≤|distinct|-row scans of the pinned frame. Contents
-    // are identical: distinct md5 per side, k smallest per side.
-    val hashed = a.select(md5(col(valueCol)).as("h"),
-        lit(1L).as("fa"), lit(0L).as("fb"))
-      .unionByName(b.select(md5(col(valueCol)).as("h"),
-        lit(0L).as("fa"), lit(1L).as("fb")))
+    // (side sketch + exact distinct count = 4 full passes). Both sides
+    // union into a single distinct-hash aggregate carrying side-membership
+    // flags; the sketches, the exact counts and the union sketch are then
+    // ≤|distinct|-row scans of the pinned frame. Contents are identical:
+    // distinct md5 per side, k smallest per side.
+    overlapReport(
+      a.select(md5(col(valueCol)).as("h"), lit(1L).as("fa"), lit(0L).as("fb"))
+        .unionByName(b.select(md5(col(valueCol)).as("h"),
+          lit(0L).as("fa"), lit(1L).as("fb"))), k)
+
+  /**
+   * [[kmvOverlap]] when the two element sets are a PARTITION of one stream
+   * (side = a per-row predicate): the stream is scanned and exploded ONCE
+   * — `kmvOverlap(elems.where(!isB), elems.where(isB), ...)` would compute
+   * the upstream (e.g. a corpus-wide shingle explode) once per side.
+   * Identical report (isB rows are side B, the rest side A).
+   */
+  def kmvOverlapSplit(elems: DataFrame, valueCol: String, isB: Column,
+                      k: Int = KmvK): DataFrame =
+    overlapReport(
+      elems.select(md5(col(valueCol)).as("h"),
+        when(isB, lit(0L)).otherwise(lit(1L)).as("fa"),
+        when(isB, lit(1L)).otherwise(lit(0L)).as("fb")), k)
+
+  /** The shared report tail: `hashed` is (h, fa, fb) with one row per
+    * element occurrence; flags mark side membership. */
+  private def overlapReport(hashed: DataFrame, k: Int): DataFrame = {
     val dh = hashed.groupBy("h")
       .agg(max(col("fa")).as("fa"), max(col("fb")).as("fb"))
       .localCheckpoint(false) // referenced 3× below (sketches + exact counts);

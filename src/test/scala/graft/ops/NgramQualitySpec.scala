@@ -91,11 +91,17 @@ class NgramQualitySpec extends AnyFunSuite {
     val df = NgramQuality.bigramLmScores(docsDf(1L -> "a b a c", 2L -> "a b b"))
     val plan = df.queryExecution.optimizedPlan.toString()
     val joinIdx = plan.indexOf("Join")
-    // the three-key aggregate, not the outer per-doc collect_list aggregate
-    val aggIdx = "Aggregate \\[doc_id#\\d+L?, head#".r
-      .findFirstMatchIn(plan).map(_.start).getOrElse(-1)
+    // the three-key aggregate, not the outer per-doc collect_list
+    // aggregate — since round 7 the frame is pinned (localCheckpoint), so
+    // it may surface as a LogicalRDD carrying exactly the distinct-bigram
+    // columns (doc_id, head, next, cnt, pos) instead of a raw Aggregate
+    val aggIdx = math.max(
+      "Aggregate \\[doc_id#\\d+L?, head#".r
+        .findFirstMatchIn(plan).map(_.start).getOrElse(-1),
+      "LogicalRDD \\[doc_id#\\d+L?, head#\\d+, next#\\d+, cnt#\\d+L?, pos#\\d+".r
+        .findFirstMatchIn(plan).map(_.start).getOrElse(-1))
     assert(joinIdx >= 0, s"no join in plan:\n$plan")
     assert(aggIdx > joinIdx,
-      s"per-document distinct-bigram Aggregate is not below the count joins:\n$plan")
+      s"per-document distinct-bigram frame is not below the count joins:\n$plan")
   }
 }

@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
  * basic-graph-pattern matching, VoID-style dataset statistics, bounded
  * transitive closure (RDFS-style materialization), and KG-embedding
  * negative sampling. (The reference stops at COUNT/ASK/SELECT-LIMIT over a
- * store — `graph_db.py` in `/root/reference/rdfx/` wraps rdflib's `query`;
+ * store — `persistence_systems.py` in `/root/reference/rdfx/` wraps
+ * rdflib's `query`/SPARQL surface;
  * these re-express the query layer as Spark dataflow over the graph table.)
  *
  * Scale shape: a triple table at 10^11 rows is the canonical self-join
@@ -275,6 +276,16 @@ object KgQuery {
    * `maxIters` bounds materialized path length: closure over a graph whose
    * diameter exceeds it is truncated (cyclic inputs are safe — revisited
    * pairs never improve the min and the pair set saturates).
+   *
+   * SCALE BOUND (round-7 note): the output materializes ALL reachable
+   * (src, dst) pairs — on a dense graph that product is quadratic in the
+   * reachable set no matter how the iteration is organized, because it IS
+   * the answer. Semi-naive evaluation bounds the per-round WORK (frontier
+   * × edges, new pairs only) but not the answer's size; at 100× scale,
+   * restrict the edge set to predicate-filtered subgraphs (as q_kg_closure
+   * does: partOf/mentions only, a DAG of depth 2), or use a frontier-only
+   * BFS ([[graft.ops.GraphAnalytics.bfsDistance]]) when only distances
+   * from given sources — not the full pair relation — are needed.
    */
   def transitiveClosure(edges: DataFrame, maxIters: Int = 10): DataFrame = {
     // SEMI-NAIVE evaluation (the standard datalog/BFS delta iterate): only
@@ -384,9 +395,28 @@ object KgQuery {
    */
   def negativeSamples(positives: DataFrame, k: Int): DataFrame = {
     val pos = positives.select(col("s"), col("o")).dropDuplicates("s", "o")
+      // referenced three times (vocabulary, the corruption explode, the
+      // filtered-negatives anti-join): pin the dedup once
+      .localCheckpoint(false)
     val ents = pos.select(col("o")).distinct()
-    val ranked = ents.select(col("o").as("cand"),
-      (row_number().over(Window.orderBy(col("o"))) - 1).cast("long").as("idx"))
+    // distributed exact rank over the entity vocabulary (round 7): range-
+    // partition so each partition holds a contiguous id range, rank within
+    // partitions, add the partitions-sized offsets — identical indices to
+    // the previous global-order window without moving the vocabulary to
+    // one partition (same mechanism as Layout.quantileBucket).
+    val parts = ents.repartitionByRange(col("o"))
+      .withColumn("_pid", spark_partition_id().cast("long"))
+      .localCheckpoint(false) // pid assignment must not replay
+    val ptot = parts.groupBy("_pid").agg(count(lit(1)).as("_pt"))
+    val off = ptot.as("a")
+      .join(ptot.as("b"), col("b._pid") < col("a._pid"), "left")
+      .groupBy(col("a._pid").as("_pid"))
+      .agg(coalesce(sum(col("b._pt")), lit(0L)).as("_off"))
+    val ranked = parts
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy("_pid").orderBy("o")).cast("long"))
+      .join(broadcast(off), Seq("_pid"))
+      .select(col("o").as("cand"), (col("_rn") - 1L + col("_off")).as("idx"))
     val nDf = ents.agg(count(lit(1)).as("n"))
     val key = concat(col("s"), lit("#"), col("o"), lit("#"), col("kk").cast("string"))
     pos

@@ -10,7 +10,8 @@ import org.apache.spark.sql.types.NumericType
  * (join order, broadcast eligibility, partition count, skew salting,
  * quality thresholds) reads these statistics. (The reference has no
  * profiling surface at all; its closest analogue is the triple COUNT in
- * `graph_db.py` — this generalizes that to per-column table statistics.)
+ * `persistence_systems.py` — this generalizes that to per-column table
+ * statistics.)
  */
 object Profile {
 

@@ -68,4 +68,23 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 5,
       s"k=5 bloom probes must be broadcast joins:\n$p")
   }
+
+  test("sum outputs match the oracle's HUGEINT type (the r6 driver hash-fail class)") {
+    // DuckDB sum(BIGINT) returns HUGEINT = arrow decimal128(38,0); the
+    // driver's hash is type-sensitive, so every uncast oracle sum must be
+    // mirrored by a decimal(38,0) Spark column. These three shipped RED in
+    // CORRECTNESS_r06.json from exactly this mismatch — pin the fix.
+    // (The cross-engine half of the gate is tools/check_oracles.py, now
+    // type-strict; DuckDB is driver-side-only so it cannot run in sbt.)
+    import org.apache.spark.sql.types.DecimalType
+    def types(name: String): Map[String, org.apache.spark.sql.types.DataType] =
+      SparkEntry.queries(name)(spark, sfDir).schema
+        .map(f => f.name -> f.dataType).toMap
+    assert(types("q_rollup")("sum_sv") == DecimalType(38, 0))
+    assert(types("q_salted_agg")("sum_sv") == DecimalType(38, 0))
+    val pivot = types("q_pivot")
+    Seq("click", "error", "purchase", "signup", "view").foreach { c =>
+      assert(pivot(c) == DecimalType(38, 0), s"pivot column $c: ${pivot(c)}")
+    }
+  }
 }

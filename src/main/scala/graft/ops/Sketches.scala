@@ -231,9 +231,12 @@ object Sketches {
   def kmvOverlapSplit(elems: DataFrame, valueCol: String, isB: Column,
                       k: Int = KmvK): DataFrame =
     overlapReport(
-      elems.select(md5(col(valueCol)).as("h"),
-        when(isB, lit(0L)).otherwise(lit(1L)).as("fa"),
-        when(isB, lit(1L)).otherwise(lit(0L)).as("fb")), k)
+      // rows where the predicate is NULL belong to neither side — exactly
+      // what the two-filter form (where(!isB) / where(isB)) produces
+      elems.where(isB.isNotNull)
+        .select(md5(col(valueCol)).as("h"),
+          when(isB, lit(0L)).otherwise(lit(1L)).as("fa"),
+          when(isB, lit(1L)).otherwise(lit(0L)).as("fb")), k)
 
   /** The shared report tail: `hashed` is (h, fa, fb) with one row per
     * element occurrence; flags mark side membership. */

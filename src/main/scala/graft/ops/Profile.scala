@@ -102,9 +102,12 @@ object Profile {
     val scaled = events.select(col(groupCol),
       expr(s"unix_micros(cast($tsCol as timestamp)) div $bucketUs").as("week"),
       s.as("sv"))
+    // (group, week)-sized and referenced twice (group totals + the final
+    // join): pin so the raw-table aggregate runs once
     val weekly = scaled.groupBy(groupCol, "week").agg(
       count(lit(1)).as("n_week"), sum(col("sv")).as("sum_week"),
       sum(col("sv") * col("sv")).as("sumsq_week"))
+      .localCheckpoint(false)
     val totals = weekly.groupBy(groupCol).agg(
       sum(col("n_week")).as("n"), sum(col("sum_week")).as("sum_s"),
       sum(col("sumsq_week")).as("sumsq_s"))

@@ -36,8 +36,11 @@ object Sessionize {
   def funnel(events: DataFrame, step1: String = "signup", step2: String = "purchase",
              windowUs: Long = 24L * 3600 * 1000000): DataFrame = {
     val tus = unix_micros(col("ts").cast("timestamp"))
+    // user-grain and referenced twice (conversion join + final join):
+    // pin so the filtered scan+aggregate runs once
     val first1 = events.where(col("event_type") === step1)
       .groupBy("user_id").agg(min(tus).as("first_step1_us"))
+      .localCheckpoint(false)
     val conv = events.where(col("event_type") === step2)
       .select(col("user_id"), tus.as("p_us"))
       .join(first1, Seq("user_id"))
@@ -182,11 +185,16 @@ object Sessionize {
 
   def retentionCohorts(events: DataFrame,
                        bucketUs: Long = 7L * 86400 * 1000000): DataFrame = {
+    // userWeeks is referenced twice (cohort derivation + the activity
+    // join) and cohorts twice (sizes + join): pin both so the distinct
+    // pass and the per-user aggregate run once each
     val userWeeks = events
       .select(col("user_id"),
         expr(s"unix_micros(cast(ts as timestamp)) div $bucketUs").as("week"))
       .distinct()
+      .localCheckpoint(false)
     val cohorts = userWeeks.groupBy("user_id").agg(min("week").as("cohort_week"))
+      .localCheckpoint(false)
     val sizes = cohorts.groupBy("cohort_week").agg(count(lit(1)).as("n_cohort"))
     userWeeks.join(cohorts, Seq("user_id"))
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))

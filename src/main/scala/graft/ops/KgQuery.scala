@@ -304,17 +304,21 @@ object KgQuery {
     var frontier = e.withColumn("dist", lit(1L)).persist(lvl)
     // no eager count of the seed frontier: an empty edge set just makes the
     // first round's join produce an empty fresh frame and the loop exits —
-    // the check that matters is the per-round fresh count
-    var frontierN = -1L
+    // the only per-round driver action is an EMPTINESS probe (take(1),
+    // short-circuits on the first row) rather than a full count; the
+    // persisted frontier then materializes fully inside the next round's
+    // join (or the caller's action), so no work is duplicated and the
+    // per-round barrier cost is one row
+    var exhausted = false
     var known = frontier
     var it = 1
-    while (frontierN != 0 && it < maxIters) {
+    while (!exhausted && it < maxIters) {
       val grown = frontier.join(hop, frontier("dst") === col("_hs"))
         .select(frontier("src"), col("_hd").as("dst"), (col("dist") + 1L).as("dist"))
         .dropDuplicates("src", "dst")
       val fresh = grown.join(known, Seq("src", "dst"), "left_anti").persist(lvl)
-      frontierN = fresh.count()
-      if (frontierN > 0) known = known.unionByName(fresh)
+      exhausted = fresh.isEmpty
+      if (!exhausted) known = known.unionByName(fresh)
       frontier = fresh
       it += 1
     }
